@@ -165,4 +165,11 @@ class Rigid:
         return Rigid(quat=self.quat.astype(dtype), trans=self.trans.astype(dtype))
 
     def __getitem__(self, idx) -> "Rigid":
-        return Rigid(quat=self.quat[idx], trans=self.trans[idx])
+        """Indexes batch dims only (the trailing component dim is preserved),
+        so `r[..., None]` broadcasts frames over a new point axis."""
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return Rigid(
+            quat=self.quat[idx + (slice(None),)],
+            trans=self.trans[idx + (slice(None),)],
+        )

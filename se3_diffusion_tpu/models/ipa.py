@@ -1,0 +1,327 @@
+"""Invariant Point Attention trunk, TPU-first.
+
+Functionally equivalent to the reference IPA stack
+(`model/ipa_pytorch.py`: InvariantPointAttention :236, IpaScore :559,
+EdgeTransition :194, BackboneUpdate :530, TorsionAngles :474), re-derived
+for the MXU rather than translated:
+
+* The point-distance attention bias is expanded as
+  |qp_i - kp_j|^2 = |qp_i|^2 + |kp_j|^2 - 2 qp_i . kp_j, so the cross term
+  is one batched [N, P*3] x [P*3, N] matmul per head — the reference
+  materializes the [B, N, N, H, P, 3] displacement tensor
+  (`ipa_pytorch.py:393-398`), which is HBM-bandwidth-bound on any
+  accelerator.
+* Frames stay quaternions; point lifts use one rotmat conversion per call.
+* All masking is additive-logit; static shapes throughout.
+
+An optional fused Pallas kernel (ops/pallas/ipa_attention.py) replaces the
+logit+softmax+aggregation path when `ipa_conf.attention_impl == 'pallas'`;
+the XLA path here is the correctness oracle.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from se3_diffusion_tpu.config import IpaConfig, ModelConfig
+from se3_diffusion_tpu.geometry import quat as quat_lib
+from se3_diffusion_tpu.geometry.rigid import Rigid
+from se3_diffusion_tpu.models.layers import (
+    LAYER_NORM_EPS,
+    Linear,
+    TorchTransformerEncoder,
+)
+
+Array = jax.Array
+
+_MASK_INF = 1e5  # reference uses inf=1e5 (`ipa_pytorch.py:243`)
+
+
+def _split_point_channels(x: Array, num_points: int) -> Array:
+    """[..., 3*P] laid out as (all x, all y, all z) -> [..., P, 3].
+
+    The reference emits point coordinates concatenated coordinate-major
+    (split into thirds then stacked, `ipa_pytorch.py:349-352`); preserving
+    that layout keeps torch checkpoint conversion a pure transpose.
+    """
+    parts = x.reshape(x.shape[:-1] + (3, num_points))
+    return jnp.moveaxis(parts, -2, -1)
+
+
+class InvariantPointAttention(nn.Module):
+    """IPA (AF2 Algorithm 22 shape) over quaternion frames."""
+
+    conf: IpaConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, s: Array, z: Array, r: Rigid, mask: Array
+    ) -> Array:
+        """
+        Args:
+            s: [B, N, c_s] node representation.
+            z: [B, N, N, c_z] pair representation.
+            r: [B, N] frames (translations in *scaled* coordinates).
+            mask: [B, N] residue mask.
+
+        Returns:
+            [B, N, c_s] update.
+        """
+        c = self.conf
+        h, ch = c.no_heads, c.c_hidden
+        pq, pv = c.no_qk_points, c.no_v_points
+        b, n = s.shape[0], s.shape[1]
+
+        q = Linear(h * ch, name="linear_q")(s).reshape(b, n, h, ch)
+        kv = Linear(2 * h * ch, name="linear_kv")(s).reshape(b, n, h, 2 * ch)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        # Points in local frames, lifted to global coordinates.
+        rot = r.rot_mats()  # [B, N, 3, 3]
+
+        def lift(pts_local):  # [B, N, P, 3] -> global
+            return (
+                jnp.einsum("bnij,bnpj->bnpi", rot, pts_local)
+                + r.trans[:, :, None, :]
+            )
+
+        q_pts_local = _split_point_channels(
+            Linear(h * pq * 3, name="linear_q_points")(s), h * pq
+        )
+        kv_pts_local = _split_point_channels(
+            Linear(h * (pq + pv) * 3, name="linear_kv_points")(s), h * (pq + pv)
+        )
+        q_pts = lift(q_pts_local).reshape(b, n, h, pq, 3)
+        kv_pts = lift(kv_pts_local).reshape(b, n, h, pq + pv, 3)
+        k_pts, v_pts = kv_pts[..., :pq, :], kv_pts[..., pq:, :]
+
+        # --- attention logits --------------------------------------------
+        # Scalar term: [B, H, N, N].
+        a = jnp.einsum("bihc,bjhc->bhij", q, k) * math.sqrt(1.0 / (3 * ch))
+        # Pair bias.
+        pair_bias = Linear(h, name="linear_b")(z)  # [B, N, N, H]
+        a = a + math.sqrt(1.0 / 3) * jnp.moveaxis(pair_bias, -1, -3)
+
+        # Point-distance term via the expanded square: the cross term is a
+        # batched matmul over the flattened (P, 3) axis (MXU), the squared
+        # norms broadcast (VPU).
+        head_weights = jax.nn.softplus(
+            self.param("head_weights", nn.initializers.zeros_init(), (h,))
+        ) * math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
+        qf = q_pts.reshape(b, n, h, pq * 3)
+        kf = k_pts.reshape(b, n, h, pq * 3)
+        cross = jnp.einsum("bihd,bjhd->bhij", qf, kf)
+        q_sq = jnp.sum(qf**2, axis=-1)  # [B, N, H]
+        k_sq = jnp.sum(kf**2, axis=-1)
+        sq_dists = (
+            q_sq.transpose(0, 2, 1)[..., :, None]
+            + k_sq.transpose(0, 2, 1)[..., None, :]
+            - 2.0 * cross
+        )  # [B, H, N, N] = sum over points of |qp_i - kp_j|^2
+        a = a - 0.5 * head_weights[None, :, None, None] * sq_dists
+
+        # Mask: pairs with any masked endpoint get -inf.
+        square_mask = _MASK_INF * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
+        a = a + square_mask
+        a = jax.nn.softmax(a, axis=-1)  # [B, H, N, N]
+
+        # --- outputs ------------------------------------------------------
+        o = jnp.einsum("bhij,bjhc->bihc", a, v).reshape(b, n, h * ch)
+
+        o_pt_global = jnp.einsum("bhij,bjhpx->bihpx", a, v_pts)  # [B,N,H,Pv,3]
+        # Back to local coordinates of frame i.
+        o_pt_local = jnp.einsum(
+            "bnji,bnhpj->bnhpi", rot, o_pt_global - r.trans[:, :, None, None, :]
+        )
+        o_pt_norm = jnp.sqrt(jnp.sum(o_pt_local**2, axis=-1) + 1e-8).reshape(
+            b, n, h * pv
+        )
+        o_pt_flat = o_pt_local.reshape(b, n, h * pv, 3)
+
+        pair_z = Linear(c.c_z // 4, name="down_z")(z)  # [B, N, N, cz/4]
+        o_pair = jnp.einsum("bhij,bijc->bihc", a, pair_z).reshape(
+            b, n, h * (c.c_z // 4)
+        )
+
+        # Concat order matches the reference (`ipa_pytorch.py:462-469`):
+        # [o, o_pt x-coords, y-coords, z-coords, o_pt norms, o_pair].
+        o_feats = jnp.concatenate(
+            [
+                o,
+                o_pt_flat[..., 0],
+                o_pt_flat[..., 1],
+                o_pt_flat[..., 2],
+                o_pt_norm,
+                o_pair,
+            ],
+            axis=-1,
+        )
+        return Linear(c.c_s, init="final", name="linear_out")(o_feats)
+
+
+class StructureModuleTransition(nn.Module):
+    """3-layer residual MLP + LayerNorm (`ipa_pytorch.py:169-191`)."""
+
+    c: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, s: Array) -> Array:
+        s0 = s
+        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = jax.nn.relu(s)
+        s = Linear(self.c, init="relu", name="linear_2")(s)
+        s = jax.nn.relu(s)
+        s = Linear(self.c, init="final", name="linear_3")(s)
+        s = s + s0
+        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, name="ln")(s)
+
+
+class EdgeTransition(nn.Module):
+    """Pair update from node features (`ipa_pytorch.py:194-233`):
+    edge <- LN(final(trunk([edge, node_i', node_j']) + skip))."""
+
+    node_embed_size: int
+    edge_embed_out: int
+    num_layers: int = 2
+    node_dilation: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, node_embed: Array, edge_embed: Array) -> Array:
+        bias_size = self.node_embed_size // self.node_dilation
+        node_small = Linear(bias_size, init="relu", name="initial_embed")(node_embed)
+        n = node_small.shape[-2]
+        edge_bias = jnp.concatenate(
+            [
+                jnp.repeat(node_small[..., :, None, :], n, axis=-2),
+                jnp.repeat(node_small[..., None, :, :], n, axis=-3),
+            ],
+            axis=-1,
+        )
+        x = jnp.concatenate([edge_embed, edge_bias], axis=-1)
+        skip = x
+        for i in range(self.num_layers):
+            x = Linear(x.shape[-1], init="relu", name=f"trunk_{i}")(x)
+            x = jax.nn.relu(x)
+        x = Linear(self.edge_embed_out, init="final", name="final_layer")(x + skip)
+        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, name="ln")(x)
+
+
+class BackboneUpdate(nn.Module):
+    """Node embedding -> [*, 6] (quat update b,c,d + translation),
+    zero-init so blocks start as identity (`ipa_pytorch.py:530-557`)."""
+
+    @nn.compact
+    def __call__(self, s: Array) -> Array:
+        return Linear(6, init="final", name="linear")(s)
+
+
+class TorsionAngles(nn.Module):
+    """Psi prediction head (`ipa_pytorch.py:474-507`): residual MLP ->
+    unnormalized and L2-normalized (sin, cos) pairs."""
+
+    c: int
+    num_torsions: int = 1
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, s: Array):
+        s0 = s
+        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = jax.nn.relu(s)
+        s = Linear(self.c, name="linear_2")(s)
+        s = s + s0
+        unnorm = Linear(self.num_torsions * 2, init="final", name="linear_final")(s)
+        denom = jnp.sqrt(
+            jnp.maximum(jnp.sum(unnorm**2, axis=-1, keepdims=True), self.eps)
+        )
+        return unnorm, unnorm / denom
+
+
+class IpaTrunk(nn.Module):
+    """The iterative frame-refinement trunk (`ipa_pytorch.py:559-672`,
+    minus the score conversion, which is a pure function downstream).
+
+    Per block: IPA -> residual LN -> [node ++ skip-embed(init)] ->
+    post-LN seq transformer -> residual -> transition -> BackboneUpdate ->
+    masked quaternion frame update -> EdgeTransition (not on last block).
+
+    Rotation gradients are NOT stopped between blocks (matching the
+    reference's FrameDiff variant; AF2 stops them).
+    """
+
+    model_conf: ModelConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        init_node_embed: Array,
+        edge_embed: Array,
+        rigids_in: Rigid,
+        node_mask: Array,
+        diffuse_mask: Array,
+    ):
+        """
+        Args:
+            rigids_in: [B, N] input frames, translations in Angstroms.
+
+        Returns:
+            (rigids_out [B, N] unscaled, psi [B, N, 2], node_embed).
+        """
+        c = self.model_conf.ipa
+        curr = rigids_in.scale_translation(c.coordinate_scaling)
+        edge_mask = node_mask[..., :, None] * node_mask[..., None, :]
+
+        init_node_embed = init_node_embed * node_mask[..., None]
+        node_embed = init_node_embed
+        for blk in range(c.num_blocks):
+            ipa_out = InvariantPointAttention(
+                c, dtype=self.dtype, name=f"ipa_{blk}"
+            )(node_embed, edge_embed, curr, node_mask)
+            ipa_out = ipa_out * node_mask[..., None]
+            node_embed = nn.LayerNorm(
+                epsilon=LAYER_NORM_EPS, name=f"ipa_ln_{blk}"
+            )(node_embed + ipa_out)
+
+            skip = Linear(c.c_skip, init="final", name=f"skip_embed_{blk}")(
+                init_node_embed
+            )
+            tfmr_in = jnp.concatenate([node_embed, skip], axis=-1)
+            tfmr_out = TorchTransformerEncoder(
+                num_layers=c.seq_tfmr_num_layers,
+                num_heads=c.seq_tfmr_num_heads,
+                dim_feedforward=c.c_s + c.c_skip,
+                dtype=self.dtype,
+                name=f"seq_tfmr_{blk}",
+            )(tfmr_in, key_padding_mask=node_mask)
+            node_embed = node_embed + Linear(
+                c.c_s, init="final", name=f"post_tfmr_{blk}"
+            )(tfmr_out)
+            node_embed = StructureModuleTransition(
+                c.c_s, name=f"node_transition_{blk}"
+            )(node_embed)
+            node_embed = node_embed * node_mask[..., None]
+
+            update = BackboneUpdate(name=f"bb_update_{blk}")(
+                node_embed * diffuse_mask[..., None]
+            )
+            curr = curr.compose_q_update_vec(update, diffuse_mask[..., None])
+
+            if blk < c.num_blocks - 1:
+                edge_embed = EdgeTransition(
+                    node_embed_size=c.c_s,
+                    edge_embed_out=self.model_conf.edge_embed_size,
+                    name=f"edge_transition_{blk}",
+                )(node_embed, edge_embed)
+                edge_embed = edge_embed * edge_mask[..., None]
+
+        _, psi = TorsionAngles(c.c_s, 1, name="torsion_pred")(node_embed)
+        rigids_out = curr.scale_translation(1.0 / c.coordinate_scaling)
+        return rigids_out, psi, node_embed
