@@ -90,7 +90,7 @@ def score(
         t: broadcastable against rotvec's batch dims (e.g. [B] for
            [B, N, 3] inputs).
     """
-    omega = jnp.linalg.norm(rotvec, axis=-1) + eps
+    omega = quat_lib.safe_norm(rotvec, axis=-1) + eps
     sig = sigma(cfg, jnp.asarray(t))
     # Right-pad sigma's dims so a per-example [B] t broadcasts over [B, N].
     sig_b = jnp.broadcast_to(

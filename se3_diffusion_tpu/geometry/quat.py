@@ -22,6 +22,17 @@ Array = jax.Array
 _SMALL_ANGLE = 1e-3
 
 
+def safe_norm(x: Array, axis: int = -1, keepdims: bool = False, eps: float = 1e-12) -> Array:
+    """L2 norm with a non-NaN gradient at x = 0.
+
+    jnp.linalg.norm's gradient at the zero vector is NaN; torch defines the
+    subgradient there as 0 (which is the only reason the reference's loss —
+    norms of masked-out scores, diagonal pairwise distances — trains at
+    all). sqrt(sum + eps) gives finite gradients and |error| <= sqrt(eps).
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def quat_normalize(quat: Array, eps: float = 1e-12) -> Array:
     """Normalizes quaternions to unit norm."""
     norm = jnp.sqrt(jnp.sum(quat * quat, axis=-1, keepdims=True) + eps)
@@ -150,7 +161,7 @@ def quat_to_rotvec(quat: Array, eps: float = 1e-6) -> Array:
     flip = (quat[..., :1] < 0).astype(quat.dtype)
     quat = (-quat) * flip + (1.0 - flip) * quat
 
-    im_norm = jnp.linalg.norm(quat[..., 1:], axis=-1)
+    im_norm = safe_norm(quat[..., 1:], axis=-1)
     angle = 2.0 * jnp.arctan2(im_norm, quat[..., 0])
 
     angle2 = angle * angle

@@ -1,0 +1,195 @@
+"""FrameDiff training loss, as a pure function of (outputs, targets).
+
+Implements the four-term loss of the reference `Experiment.loss_fn`
+(`experiments/train_se3_diffusion.py:524-693`) with identical semantics:
+
+* translation: score-matching MSE scaled by 1/score_scaling^2 for
+  t > trans_x0_threshold, x0 coordinate MSE otherwise (the default config
+  sets the threshold to 1.0, i.e. always x0 MSE);
+* rotation: either DSM score MSE or `separate_rot_loss` (axis MSE +
+  scaling-normalized angle MSE, angle term gated to t > rot_loss_t_threshold);
+* auxiliary backbone-atom MSE and local (<6 A) pairwise-distance MSE,
+  both gated to small t and weighted by aux_loss_weight.
+
+Everything is per-example then normalized by the count of non-empty
+examples, so batches mixing lengths via padding masks are handled exactly.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from se3_diffusion_tpu.config import ExperimentConfig
+from se3_diffusion_tpu.geometry import quat as quat_lib
+from se3_diffusion_tpu.geometry.rigid import Rigid
+from se3_diffusion_tpu.proteins import backbone
+
+Array = jax.Array
+
+
+def framediff_loss(
+    model_out: Dict[str, Array],
+    batch: Dict[str, Array],
+    cfg: ExperimentConfig,
+    diffuse_rot: bool = True,
+    diffuse_trans: bool = True,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Computes the total loss and per-term logging dict.
+
+    Args:
+        model_out: score_network_forward outputs (rot_score, trans_score,
+            rigids, atom37, psi).
+        batch: targets with rot_score, trans_score, *_score_scaling,
+            rigids_0 [B,N,7], torsion_angles_sin_cos [B,N,7,2], res_mask,
+            fixed_mask, t [B].
+
+    Returns:
+        (scalar loss, aux dict of detached per-term means).
+    """
+    bb_mask = batch["res_mask"].astype(jnp.float32)
+    diffuse_mask = 1.0 - batch["fixed_mask"].astype(jnp.float32)
+    loss_mask = bb_mask * diffuse_mask
+    batch_size, num_res = bb_mask.shape
+    t = batch["t"]
+    denom = loss_mask.sum(-1) + 1e-10
+    batch_loss_mask = (bb_mask.sum(-1) > 0).astype(jnp.float32)
+
+    pred_rot_score = model_out["rot_score"] * diffuse_mask[..., None]
+    pred_trans_score = model_out["trans_score"] * diffuse_mask[..., None]
+    gt_rot_score = batch["rot_score"]
+    gt_trans_score = batch["trans_score"]
+    rot_scale = batch["rot_score_scaling"]
+    trans_scale = batch["trans_score_scaling"]
+
+    # --- translation -------------------------------------------------------
+    trans_score_mse = (
+        (gt_trans_score - pred_trans_score) ** 2 * loss_mask[..., None]
+    ).sum((-1, -2))
+    trans_score_loss = trans_score_mse / trans_scale**2 / denom
+
+    gt_trans_x0 = batch["rigids_0"][..., 4:] * cfg.coordinate_scaling
+    pred_trans_x0 = model_out["rigids"][..., 4:] * cfg.coordinate_scaling
+    trans_x0_loss = (
+        ((gt_trans_x0 - pred_trans_x0) ** 2 * loss_mask[..., None]).sum((-1, -2))
+        / denom
+    )
+    use_score = (t > cfg.trans_x0_threshold).astype(jnp.float32)
+    trans_loss = (
+        trans_score_loss * use_score + trans_x0_loss * (1.0 - use_score)
+    ) * cfg.trans_loss_weight * float(diffuse_trans)
+
+    # --- rotation ----------------------------------------------------------
+    if cfg.separate_rot_loss:
+        # safe_norm: masked rows carry exact-zero scores, where linalg.norm
+        # would inject NaN gradients (torch subgradients it to 0).
+        gt_angle = quat_lib.safe_norm(gt_rot_score, axis=-1, keepdims=True)
+        gt_axis = gt_rot_score / (gt_angle + 1e-6)
+        pred_angle = quat_lib.safe_norm(pred_rot_score, axis=-1, keepdims=True)
+        pred_axis = pred_rot_score / (pred_angle + 1e-6)
+        axis_loss = (
+            ((gt_axis - pred_axis) ** 2 * loss_mask[..., None]).sum((-1, -2))
+            / denom
+        )
+        angle_loss = (
+            ((gt_angle - pred_angle) ** 2 * loss_mask[..., None]).sum((-1, -2))
+            / rot_scale**2
+            / denom
+        )
+        angle_loss = (
+            angle_loss
+            * cfg.rot_loss_weight
+            * (t > cfg.rot_loss_t_threshold).astype(jnp.float32)
+        )
+        rot_loss = axis_loss + angle_loss
+    else:
+        rot_mse = (
+            (gt_rot_score - pred_rot_score) ** 2 * loss_mask[..., None]
+        ).sum((-1, -2))
+        rot_loss = (
+            rot_mse
+            / rot_scale**2
+            / denom
+            * cfg.rot_loss_weight
+            * (t > cfg.rot_loss_t_threshold).astype(jnp.float32)
+        )
+    rot_loss = rot_loss * float(diffuse_rot)
+
+    # --- auxiliary backbone-atom loss --------------------------------------
+    pred_atom37 = model_out["atom37"][:, :, :5]
+    gt_rigids = Rigid.from_tensor_7(batch["rigids_0"].astype(jnp.float32))
+    gt_psi = batch["torsion_angles_sin_cos"][..., 2, :]
+    gt_atom37_full, gt_mask_full, _ = backbone.compute_backbone(gt_rigids, gt_psi)
+    gt_atom37 = gt_atom37_full[:, :, :5]
+    atom37_mask = gt_mask_full[:, :, :5]
+
+    bb_atom_mask = atom37_mask * loss_mask[..., None]
+    bb_atom_loss = (
+        ((pred_atom37 - gt_atom37) ** 2 * bb_atom_mask[..., None]).sum((-1, -2, -3))
+        / (bb_atom_mask.sum((-1, -2)) + 1e-10)
+    )
+    bb_atom_loss = (
+        bb_atom_loss
+        * cfg.bb_atom_loss_weight
+        * (t < cfg.bb_atom_loss_t_filter).astype(jnp.float32)
+        * cfg.aux_loss_weight
+    )
+
+    # --- auxiliary local pairwise-distance loss -----------------------------
+    gt_flat = gt_atom37.reshape(batch_size, num_res * 5, 3)
+    pred_flat = pred_atom37.reshape(batch_size, num_res * 5, 3)
+    # safe_norm: the diagonal is exactly zero and would poison gradients.
+    gt_pair = quat_lib.safe_norm(gt_flat[:, :, None] - gt_flat[:, None, :])
+    pred_pair = quat_lib.safe_norm(pred_flat[:, :, None] - pred_flat[:, None, :])
+    flat_loss_mask = jnp.tile(loss_mask[:, :, None], (1, 1, 5)).reshape(
+        batch_size, num_res * 5
+    )
+    flat_res_mask = jnp.tile(bb_mask[:, :, None], (1, 1, 5)).reshape(
+        batch_size, num_res * 5
+    )
+    gt_pair = gt_pair * flat_loss_mask[..., None]
+    pred_pair = pred_pair * flat_loss_mask[..., None]
+    pair_mask = (
+        flat_loss_mask[..., None]
+        * flat_res_mask[:, None, :]
+        * (gt_pair < 6.0).astype(jnp.float32)
+    )
+    dist_mat_loss = ((gt_pair - pred_pair) ** 2 * pair_mask).sum((1, 2)) / (
+        pair_mask.sum((1, 2)) - num_res
+    )
+    dist_mat_loss = (
+        dist_mat_loss
+        * cfg.dist_mat_loss_weight
+        * (t < cfg.dist_mat_loss_t_filter).astype(jnp.float32)
+        * cfg.aux_loss_weight
+    )
+
+    final_loss = rot_loss + trans_loss + bb_atom_loss + dist_mat_loss
+
+    def normalize(x):
+        return (x * batch_loss_mask).sum() / (batch_loss_mask.sum() + 1e-10)
+
+    aux = {
+        "total_loss": normalize(final_loss),
+        "rot_loss": normalize(rot_loss),
+        "trans_loss": normalize(trans_loss),
+        "bb_atom_loss": normalize(bb_atom_loss),
+        "dist_mat_loss": normalize(dist_mat_loss),
+        "examples_per_step": jnp.asarray(batch_size, jnp.float32),
+        "res_length": bb_mask.sum(-1).mean(),
+    }
+    return normalize(final_loss), aux
+
+
+def t_stratified_loss(
+    t: Array, losses: Array, num_bins: int = 5, prefix: str = "loss"
+) -> Dict[str, Array]:
+    """Bins per-example losses by t for logging (reference
+    `experiments/utils.py:34-51`). Returns {f"{prefix}_t_bin_i": mean}."""
+    edges = jnp.linspace(0.0, 1.0 + 1e-6, num_bins + 1)
+    out = {}
+    for i in range(num_bins):
+        sel = ((t >= edges[i]) & (t < edges[i + 1])).astype(jnp.float32)
+        out[f"{prefix}_t_{i}"] = (losses * sel).sum() / (sel.sum() + 1e-10)
+    return out

@@ -1,0 +1,126 @@
+"""End-to-end sampler smoke tests + PDB round trips (SURVEY.md section 4.5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3_diffusion_tpu.config import (
+    DiffuserConfig,
+    IpaConfig,
+    ModelConfig,
+    SO3Config,
+)
+from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
+from se3_diffusion_tpu.models.score_network import init_score_network
+from se3_diffusion_tpu.proteins import protein
+from se3_diffusion_tpu.sampling import sample_backbones
+
+SMALL_MODEL = ModelConfig(
+    node_embed_size=32,
+    edge_embed_size=16,
+    ipa=IpaConfig(
+        c_s=32, c_z=16, c_hidden=16, c_skip=8, no_heads=2, no_qk_points=4,
+        no_v_points=6, seq_tfmr_num_heads=2, seq_tfmr_num_layers=1,
+        num_blocks=2,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    diffuser = SE3Diffuser.create(
+        DiffuserConfig(
+            so3=SO3Config(num_omega=200, num_sigma=50, cache_dir="", series_l=300)
+        )
+    )
+    model, params = init_score_network(jax.random.PRNGKey(0), SMALL_MODEL, 8)
+    return diffuser, model, params
+
+
+class TestSampler:
+    def test_sample_shapes_and_finiteness(self, setup):
+        diffuser, model, params = setup
+        out = sample_backbones(
+            jax.random.PRNGKey(1), model, params, diffuser,
+            num_res=16, num_samples=2, num_t=5,
+        )
+        assert out.rigids.shape == (2, 16, 7)
+        assert out.atom37.shape == (2, 16, 37, 3)
+        assert np.all(np.isfinite(np.asarray(out.atom37)))
+        # Quats stay unit through the scan.
+        norms = np.linalg.norm(np.asarray(out.rigids[..., :4]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_aux_traj(self, setup):
+        diffuser, model, params = setup
+        out = sample_backbones(
+            jax.random.PRNGKey(2), model, params, diffuser,
+            num_res=12, num_samples=1, num_t=4, aux_traj=True,
+        )
+        assert out.rigid_traj.shape == (5, 1, 12, 7)
+        assert out.atom37_traj.shape == (4, 1, 12, 37, 3)
+        # Index 0 of the trajectory equals the final sample (flipped order).
+        np.testing.assert_allclose(
+            np.asarray(out.atom37_traj[0]), np.asarray(out.atom37), atol=1e-5
+        )
+
+    def test_deterministic_given_key(self, setup):
+        diffuser, model, params = setup
+        a = sample_backbones(
+            jax.random.PRNGKey(3), model, params, diffuser, 10, 1, num_t=3
+        )
+        b = sample_backbones(
+            jax.random.PRNGKey(3), model, params, diffuser, 10, 1, num_t=3
+        )
+        np.testing.assert_array_equal(np.asarray(a.atom37), np.asarray(b.atom37))
+        c = sample_backbones(
+            jax.random.PRNGKey(4), model, params, diffuser, 10, 1, num_t=3
+        )
+        assert np.abs(np.asarray(a.atom37) - np.asarray(c.atom37)).max() > 1e-3
+
+    def test_com_centered(self, setup):
+        diffuser, model, params = setup
+        out = sample_backbones(
+            jax.random.PRNGKey(5), model, params, diffuser, 24, 1, num_t=6,
+        )
+        # The final step is an x0 prediction (not centered), but sampled
+        # structures should stay near the origin thanks to per-step
+        # centering of the chain.
+        ca = np.asarray(out.atom37)[0, :, 1]
+        assert np.abs(ca.mean(0)).max() < 20.0
+
+
+class TestPDB:
+    def test_pdb_roundtrip(self, setup, tmp_path):
+        diffuser, model, params = setup
+        out = sample_backbones(
+            jax.random.PRNGKey(6), model, params, diffuser, 16, 1, num_t=3
+        )
+        pdb_str = protein.to_pdb(
+            protein.create_protein(np.asarray(out.atom37[0]))
+        )
+        parsed = protein.from_pdb_string(pdb_str)
+        assert parsed.atom_positions.shape[0] == 16
+        got = parsed.atom_positions[:, :5]
+        want = np.asarray(out.atom37)[0, :, :5]
+        mask = parsed.atom_mask[:, :5]
+        np.testing.assert_allclose(
+            got[mask > 0.5], want[mask > 0.5], atol=2e-3
+        )
+
+    def test_write_traj_multi_model(self, setup, tmp_path):
+        diffuser, model, params = setup
+        out = sample_backbones(
+            jax.random.PRNGKey(7), model, params, diffuser, 8, 1, num_t=3,
+            aux_traj=True,
+        )
+        path = protein.write_prot_to_pdb(
+            np.asarray(out.atom37_traj)[:, 0], str(tmp_path / "traj.pdb"),
+            no_indexing=True,
+        )
+        text = open(path).read()
+        assert text.count("MODEL") == text.count("ENDMDL") == 3
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -1,0 +1,150 @@
+"""Training step tests: loss mechanics, overfit sanity, shard_map DP
+(SURVEY.md section 4.4: multi-host semantics tested on a virtual device
+mesh — the reference's DDP path had no test of any kind)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3_diffusion_tpu.config import (
+    Config,
+    DataConfig,
+    DiffuserConfig,
+    ExperimentConfig,
+    IpaConfig,
+    ModelConfig,
+    SO3Config,
+)
+from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
+from se3_diffusion_tpu.geometry.rigid import Rigid
+from se3_diffusion_tpu.models.score_network import ScoreNetwork, dummy_features
+from se3_diffusion_tpu.parallel.mesh import create_mesh, shard_batch, replicate
+from se3_diffusion_tpu.training import (
+    create_train_state,
+    loss_fn,
+    make_train_step,
+)
+
+SMALL_CFG = Config(
+    model=ModelConfig(
+        node_embed_size=32,
+        edge_embed_size=16,
+        ipa=IpaConfig(
+            c_s=32, c_z=16, c_hidden=16, c_skip=8, no_heads=2, no_qk_points=4,
+            no_v_points=6, seq_tfmr_num_heads=2, seq_tfmr_num_layers=1,
+            num_blocks=2,
+        ),
+    ),
+    diffuser=DiffuserConfig(
+        so3=SO3Config(num_omega=200, num_sigma=50, cache_dir="", series_l=300)
+    ),
+    experiment=ExperimentConfig(learning_rate=1e-3),
+)
+
+
+def synthetic_batch(key, batch_size, num_res):
+    """Clean 'protein' batch: smooth random-walk CA trace + random frames."""
+    k1, k2 = jax.random.split(key)
+    steps = jax.random.normal(k1, (batch_size, num_res, 3))
+    ca = jnp.cumsum(steps * 2.0, axis=-2)
+    ca = ca - ca.mean(axis=-2, keepdims=True)
+    from se3_diffusion_tpu.geometry import quat as ql
+
+    quats = ql.quat_normalize(jax.random.normal(k2, (batch_size, num_res, 4)))
+    rigids_0 = Rigid(quat=quats, trans=ca)
+    return {
+        "rigids_0": rigids_0.to_tensor_7(),
+        "res_mask": jnp.ones((batch_size, num_res), jnp.float32),
+        "fixed_mask": jnp.zeros((batch_size, num_res), jnp.float32),
+        "seq_idx": jnp.tile(jnp.arange(num_res)[None], (batch_size, 1)),
+        "torsion_angles_sin_cos": jnp.zeros((batch_size, num_res, 7, 2)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    diffuser = SE3Diffuser.create(SMALL_CFG.diffuser)
+    model = ScoreNetwork(SMALL_CFG.model)
+    state = create_train_state(jax.random.PRNGKey(0), SMALL_CFG, model, 12)
+    return diffuser, model, state
+
+
+class TestLoss:
+    def test_loss_finite_and_positive(self, setup):
+        diffuser, model, state = setup
+        batch = synthetic_batch(jax.random.PRNGKey(1), 2, 12)
+        loss, aux = loss_fn(
+            state.params, jax.random.PRNGKey(2), batch, model, diffuser, SMALL_CFG
+        )
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        for k in ("rot_loss", "trans_loss", "bb_atom_loss", "dist_mat_loss"):
+            assert np.isfinite(float(aux[k])), k
+
+    def test_gradients_nonzero_everywhere(self, setup):
+        # Zero-init "final" layers open one per optimizer step (update = 0@x
+        # blocks upstream flow), and the psi head only sees gradient when a
+        # sampled t < 0.25 activates the aux losses — so warm up several
+        # steps with a larger batch before asserting broad coverage.
+        diffuser, model, state = setup
+        batch = synthetic_batch(jax.random.PRNGKey(1), 6, 12)
+        step = make_train_step(model, SMALL_CFG, mesh=None)
+        key = jax.random.PRNGKey(9)
+        for _ in range(6):
+            key, sub = jax.random.split(key)
+            state, _ = step(state, diffuser, batch, sub)
+        grads = jax.grad(
+            lambda p: loss_fn(
+                p, jax.random.PRNGKey(3), batch, model, diffuser, SMALL_CFG
+            )[0]
+        )(state.params)
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        nonzero = sum(int(np.any(np.asarray(g) != 0)) for g in flat)
+        assert nonzero / len(flat) > 0.85, f"{nonzero}/{len(flat)}"
+
+    def test_padded_examples_do_not_contribute(self, setup):
+        diffuser, model, state = setup
+        batch = synthetic_batch(jax.random.PRNGKey(1), 2, 12)
+        # Second example fully padded.
+        batch["res_mask"] = batch["res_mask"].at[1].set(0.0)
+        loss, aux = loss_fn(
+            state.params, jax.random.PRNGKey(4), batch, model, diffuser, SMALL_CFG
+        )
+        assert np.isfinite(float(loss))
+
+
+class TestTrainStep:
+    def test_single_device_loss_decreases(self, setup):
+        diffuser, model, state = setup
+        step = make_train_step(model, SMALL_CFG, mesh=None)
+        batch = synthetic_batch(jax.random.PRNGKey(1), 4, 12)
+        losses = []
+        key = jax.random.PRNGKey(0)
+        for i in range(8):
+            key, sub = jax.random.split(key)
+            state, aux = step(state, diffuser, batch, sub)
+            losses.append(float(aux["loss"]))
+        # Same data every step; loss should trend down.
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    def test_multichip_dp_step(self, setup):
+        diffuser, model, _ = setup
+        assert len(jax.devices()) >= 8, "conftest should give 8 cpu devices"
+        mesh = create_mesh(jax.devices()[:8])
+        state = create_train_state(jax.random.PRNGKey(0), SMALL_CFG, model, 12)
+        step = make_train_step(model, SMALL_CFG, mesh=mesh)
+        batch = synthetic_batch(jax.random.PRNGKey(1), 8, 12)
+        batch = shard_batch(mesh, batch)
+        state = replicate(mesh, state)
+        state, aux = step(state, replicate(mesh, diffuser), batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(aux["loss"]))
+        # Params stay consistent across the mesh (replicated update).
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        gathered = np.asarray(p0.addressable_data(0)), np.asarray(
+            p0.addressable_data(len(p0.sharding.device_set) - 1)
+        )
+        np.testing.assert_array_equal(gathered[0], gathered[1])
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
