@@ -1,0 +1,239 @@
+"""Training dataset: metadata filtering, eval split, epoch samplers.
+
+Equivalent of the reference `data/pdb_data_loader.py` (PdbDataset :48,
+TrainSampler :279, DistributedTrainSampler :365), restructured for the
+TPU training loop: the dataset serves *clean* features only (frames, psi,
+masks) — forward diffusion happens inside the jitted train step — and
+batching is static-shape bucketed.
+
+All four reference batching modes are provided (`pdb_data_loader.py:
+328-354`): length_batch, time_batch, cluster_length_batch,
+cluster_time_batch. "time batch" repeats one protein B times; per-example
+t is drawn on device, so the repeat is all that is needed.
+
+Multi-host sharding (the DistributedTrainSampler's job) is a pure
+function of (epoch seed, process_index, process_count) — see
+`epoch_indices`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from se3_diffusion_tpu.config import DataConfig
+from se3_diffusion_tpu.data import utils as du
+
+
+def rog_quantile_curve(df: pd.DataFrame, quantile: float, eval_x: np.ndarray):
+    """Degree-4 polynomial fit of the radius-of-gyration quantile vs length
+    (reference `pdb_data_loader.py:26-46`)."""
+    y_quant = (
+        df.groupby("modeled_seq_len")["radius_gyration"]
+        .quantile(quantile)
+        .reset_index()
+    )
+    x = y_quant["modeled_seq_len"].to_numpy()
+    y = y_quant["radius_gyration"].to_numpy()
+    poly = np.poly1d(np.polyfit(x, y, 4))
+    return poly(eval_x)
+
+
+def filter_metadata(df: pd.DataFrame, cfg: DataConfig) -> pd.DataFrame:
+    """Applies the reference's dataset filters (`pdb_data_loader.py:74-109`)."""
+    if "oligomeric_detail" in df and cfg.allowed_oligomer:
+        df = df[df.oligomeric_detail.isin(cfg.allowed_oligomer)]
+    df = df[df.modeled_seq_len <= cfg.max_len]
+    df = df[df.modeled_seq_len >= cfg.min_len]
+    if "helix_percent" in df:
+        df = df[df.helix_percent < cfg.max_helix_percent]
+    if "coil_percent" in df:
+        df = df[df.coil_percent < cfg.max_loop_percent]
+    if "strand_percent" in df and cfg.min_beta_percent > 0:
+        df = df[df.strand_percent > cfg.min_beta_percent]
+    if "radius_gyration" in df and cfg.rog_quantile > 0 and len(df) > 8:
+        cutoffs = rog_quantile_curve(
+            df, cfg.rog_quantile, df.modeled_seq_len.to_numpy()
+        )
+        df = df[df.radius_gyration.to_numpy() < cutoffs]
+    if cfg.subset is not None:
+        df = df.head(cfg.subset)
+    return df
+
+
+def load_clusters(path: str) -> Dict[str, int]:
+    """Parses clusters-by-entity-30.txt: one whitespace-separated cluster
+    per line, entries like '6A5J_1' (reference `pdb_data_loader.py:319-326`,
+    README.md:193-226). Returns pdb_name -> cluster id."""
+    mapping: Dict[str, int] = {}
+    if not path or not os.path.exists(path):
+        return mapping
+    with open(path) as f:
+        for ci, line in enumerate(f):
+            for entry in line.split():
+                pdb = entry.split("_")[0].lower()
+                mapping.setdefault(pdb, ci)
+    return mapping
+
+
+@dataclasses.dataclass
+class PdbDataset:
+    """Metadata-driven dataset over preprocessed .pkl chain features."""
+
+    cfg: DataConfig
+    is_training: bool = True
+
+    def __post_init__(self):
+        df = pd.read_csv(self.cfg.csv_path)
+        df = filter_metadata(df, self.cfg)
+        df = df.sort_values("modeled_seq_len", ascending=False)
+        if self.is_training:
+            self.df = df
+        else:
+            # Eval split: num_eval_lengths equally spaced lengths, with
+            # samples_per_eval_length examples each (reference
+            # `pdb_data_loader.py:111-130`).
+            all_lengths = np.sort(df.modeled_seq_len.unique())
+            idx = np.linspace(
+                0, len(all_lengths) - 1, self.cfg.num_eval_lengths, dtype=int
+            )
+            lengths = set(all_lengths[idx].tolist())
+            df = df[df.modeled_seq_len.isin(lengths)]
+            self.df = df.groupby("modeled_seq_len").head(
+                self.cfg.samples_per_eval_length
+            )
+        self.clusters = (
+            load_clusters(self.cfg.cluster_path) if self.is_training else {}
+        )
+        self._cache: Dict[str, dict] = {}
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def row(self, i: int):
+        return self.df.iloc[i]
+
+    def load_example(self, i: int) -> Dict[str, np.ndarray]:
+        """Loads one chain's clean features (cached, ~100 entries)."""
+        row = self.df.iloc[i]
+        path = row.processed_path
+        if path not in self._cache:
+            if len(self._cache) > 100:
+                self._cache.pop(next(iter(self._cache)))
+            raw = du.read_pkl(path)
+            self._cache[path] = self._featurize(raw)
+        feats = dict(self._cache[path])
+        feats["pdb_name"] = str(row.pdb_name)
+        return feats
+
+    @staticmethod
+    def _featurize(raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """pkl chain feats -> training features (numpy, unpadded).
+
+        Keeps only residues with full backbone; renumbers seq_idx from 0
+        (the reference renumbers per chain, `pdb_data_loader.py:156-172`).
+        """
+        import jax.numpy as jnp
+
+        from se3_diffusion_tpu.proteins import transforms
+
+        atom37 = np.asarray(raw["atom_positions"], np.float32)
+        mask37 = np.asarray(raw["atom_mask"], np.float32)
+        modeled = np.nonzero(
+            mask37[:, 0] * mask37[:, 1] * mask37[:, 2]
+        )[0]
+        if len(modeled) == 0:
+            raise ValueError("Chain has no fully-modeled backbone residues")
+        lo, hi = modeled.min(), modeled.max() + 1
+        atom37, mask37 = atom37[lo:hi], mask37[lo:hi]
+        feats = transforms.chain_features_from_atom37(
+            jnp.asarray(atom37), jnp.asarray(mask37)
+        )
+        n = atom37.shape[0]
+        return {
+            "rigids_0": np.asarray(feats["rigids_0"], np.float32),
+            "res_mask": np.asarray(feats["res_mask"], np.float32),
+            "torsion_angles_sin_cos": np.asarray(
+                feats["torsion_angles_sin_cos"], np.float32
+            ),
+            "fixed_mask": np.zeros(n, np.float32),
+            "seq_idx": np.arange(n, dtype=np.int32),
+            "aatype": np.asarray(raw["aatype"][lo:hi], np.int32),
+            "atom37": np.asarray(feats["atom37"], np.float32),
+        }
+
+    # -- epoch index generation (the TrainSampler modes) ---------------------
+
+    def epoch_indices(
+        self,
+        epoch: int,
+        mode: str,
+        batch_size: int,
+        process_index: int = 0,
+        process_count: int = 1,
+        seed: int = 123,
+    ) -> List[List[int]]:
+        """Deterministic per-epoch batch index lists.
+
+        Modes (reference `pdb_data_loader.py:328-354`):
+            length_batch: examples grouped by similar length.
+            time_batch: one example repeated batch_size times.
+            cluster_length_batch / cluster_time_batch: one random example
+                per 30%-seq-id cluster per epoch, then as above.
+
+        Multi-host: batches are strided across processes after the
+        epoch-seeded shuffle, the DistributedTrainSampler contract
+        (`pdb_data_loader.py:457-487`).
+        """
+        rng = np.random.RandomState((seed + epoch) % (2**31))
+        if mode.startswith("cluster_"):
+            if not self.clusters:
+                raise ValueError(
+                    f"sample_mode={mode} requires a cluster file "
+                    f"({self.cfg.cluster_path})"
+                )
+            by_cluster: Dict[int, List[int]] = {}
+            for i in range(len(self.df)):
+                name = str(self.df.iloc[i].pdb_name).split("_")[0].lower()
+                by_cluster.setdefault(self.clusters.get(name, -1 - i), []).append(i)
+            indices = [v[rng.randint(len(v))] for v in by_cluster.values()]
+            sub_mode = mode[len("cluster_"):]
+        else:
+            indices = list(range(len(self.df)))
+            sub_mode = mode
+
+        indices = [indices[j] for j in rng.permutation(len(indices))]
+        if sub_mode == "time_batch":
+            batches = [[i] * batch_size for i in indices]
+        elif sub_mode == "length_batch":
+            # df is sorted by length; sorting index groups similar lengths.
+            indices.sort()
+            batches = [
+                indices[i : i + batch_size]
+                for i in range(0, len(indices), batch_size)
+            ]
+            batches = [batches[j] for j in rng.permutation(len(batches))]
+        else:
+            raise ValueError(f"Unknown sample mode {mode}")
+        return batches[process_index::process_count]
+
+    def make_batch(
+        self,
+        example_indices: Sequence[int],
+        max_squared_res: int,
+        buckets: Sequence[int] = (64, 128, 192, 256, 320, 384, 448, 512),
+    ) -> Dict[str, np.ndarray]:
+        """Loads, trims to the memory budget, pads to a bucket, stacks."""
+        examples = [self.load_example(i) for i in example_indices]
+        examples.sort(key=lambda e: -len(e["res_mask"]))
+        max_len = len(examples[0]["res_mask"])
+        bucket = du.round_up_to_bucket(max_len, buckets)
+        max_batch = max(1, int(max_squared_res // (bucket * bucket)))
+        batch = du.collate(examples[:max_batch], bucket)
+        batch.pop("pdb_name", None)
+        batch.pop("aatype", None)
+        batch.pop("atom37", None)
+        return batch
