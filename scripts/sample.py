@@ -1,0 +1,79 @@
+"""Sampling/inference CLI.
+
+Usage:
+    python scripts/sample.py --weights ckpt_dir_or_torch.pth \
+        [--min_length 100 --max_length 500 --length_step 5] \
+        [--samples_per_length 10] [--num_t 500] [--output_dir out/]
+
+Equivalent entry point to the reference's
+`experiments/inference_se3_diffusion.py` (length sweep + resumable
+sample dirs + trajectory PDBs). Self-consistency runs when a sequence
+designer + folder are available (see sampling/inference.py).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import logging
+
+import jax
+
+from se3_diffusion_tpu import config as config_lib
+from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
+from se3_diffusion_tpu.models.score_network import ScoreNetwork, dummy_features
+from se3_diffusion_tpu.sampling.inference import InferenceRunner
+from se3_diffusion_tpu.training import checkpoints as ckpt_lib
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None)
+    p.add_argument("--weights", default=None, help="orbax dir or torch .pth")
+    p.add_argument("--min_length", type=int, default=None)
+    p.add_argument("--max_length", type=int, default=None)
+    p.add_argument("--length_step", type=int, default=None)
+    p.add_argument("--samples_per_length", type=int, default=None)
+    p.add_argument("--num_t", type=int, default=None)
+    p.add_argument("--noise_scale", type=float, default=None)
+    p.add_argument("--output_dir", default=None)
+    args = p.parse_args()
+
+    cfg = config_lib.load_yaml(args.config) if args.config else config_lib.Config()
+    samples = cfg.inference.samples
+    for k in ("min_length", "max_length", "length_step", "samples_per_length"):
+        if getattr(args, k) is not None:
+            samples = dataclasses.replace(samples, **{k: getattr(args, k)})
+    diffusion = cfg.inference.diffusion
+    if args.num_t is not None:
+        diffusion = dataclasses.replace(diffusion, num_t=args.num_t)
+    if args.noise_scale is not None:
+        diffusion = dataclasses.replace(diffusion, noise_scale=args.noise_scale)
+    inference = dataclasses.replace(
+        cfg.inference,
+        samples=samples,
+        diffusion=diffusion,
+        output_dir=args.output_dir or cfg.inference.output_dir,
+    )
+    cfg = dataclasses.replace(cfg, inference=inference)
+
+    diffuser = SE3Diffuser.create(cfg.diffuser)
+    model = ScoreNetwork(cfg.model)
+    if args.weights:
+        params = ckpt_lib.warm_start_params(args.weights, cfg.model)
+    else:
+        logging.warning("No --weights given; sampling with random init")
+        params = model.init(jax.random.PRNGKey(0), dummy_features(1, 8))["params"]
+
+    runner = InferenceRunner(
+        cfg=cfg, model=model, params=params, diffuser=diffuser
+    )
+    df = runner.run_sampling()
+    print(df.to_string() if len(df) else "nothing to do (all dirs exist)")
+
+
+if __name__ == "__main__":
+    main()

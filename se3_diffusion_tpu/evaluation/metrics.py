@@ -1,0 +1,164 @@
+"""Structure quality metrics (host-side numpy).
+
+Equivalent of the reference `analysis/metrics.py`: CA-CA bond geometry,
+CA clash counts, secondary-structure composition, radius of gyration,
+Kabsch-aligned RMSD and TM-score. DSSP comes from the in-repo DSSP-lite
+(mdtraj replacement); TM-score uses the native C++ extension when built
+(`native/tmalign`), with a numpy fallback implementing the same
+TM-score/superposition iteration.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
+from se3_diffusion_tpu.proteins import residue_constants as rc
+
+CA_IDX = 1
+# Reference thresholds (`analysis/metrics.py:120-132`).
+CA_CA_TOL = 0.1
+CLASH_DIST = 1.5
+
+
+def kabsch_align(a: np.ndarray, b: np.ndarray):
+    """Optimal rotation/translation of a onto b ([N,3] each).
+
+    Returns (a_aligned, rmsd)."""
+    ca, cb = a.mean(0), b.mean(0)
+    a0, b0 = a - ca, b - cb
+    h = a0.T @ b0
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    rot = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    a_aligned = a0 @ rot.T + cb
+    rmsd = float(np.sqrt(((a_aligned - b) ** 2).sum(-1).mean()))
+    return a_aligned, rmsd
+
+
+def calc_aligned_rmsd(pos_1: np.ndarray, pos_2: np.ndarray) -> float:
+    """Kabsch-aligned CA RMSD (reference `metrics.py:71-73`)."""
+    return kabsch_align(pos_1, pos_2)[1]
+
+
+def _tm_d0(n: int) -> float:
+    # Zhang & Skolnick 2004 normalization length term.
+    if n <= 21:
+        return 0.5
+    return 1.24 * (n - 15) ** (1.0 / 3.0) - 1.8
+
+
+def tm_score_fixed_alignment(
+    pos_1: np.ndarray, pos_2: np.ndarray, max_iters: int = 20
+) -> float:
+    """TM-score under the identity alignment with iterative superposition.
+
+    The TM-score program's core loop (Zhang & Skolnick 2004): start from
+    superpositions seeded on multiple fragments, iteratively re-superimpose
+    on the subset of residues with distance < d0-based cutoff, keep the
+    best score. This is the score used for self-consistency (sampled vs
+    refolded structures share residue correspondence). The native C++
+    implementation (`se3_diffusion_tpu.evaluation.tmalign`) is preferred
+    when built; results agree to ~1e-3.
+    """
+    n = min(len(pos_1), len(pos_2))
+    a, b = pos_1[:n].astype(np.float64), pos_2[:n].astype(np.float64)
+    d0 = max(_tm_d0(n), 0.5)
+
+    def score_from_subset(idx):
+        if len(idx) < 3:
+            return None
+        ca, cb = a[idx].mean(0), b[idx].mean(0)
+        h = (a[idx] - ca).T @ (b[idx] - cb)
+        u, _, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(vt.T @ u.T))
+        rot = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+        a_all = (a - ca) @ rot.T + cb
+        dist = np.sqrt(((a_all - b) ** 2).sum(-1))
+        return float((1.0 / (1.0 + (dist / d0) ** 2)).mean()), dist
+
+    best = 0.0
+    seeds = []
+    for frag in (n, n // 2, n // 4, 8):
+        if frag >= 3:
+            for start in range(0, n - frag + 1, max(frag // 2, 1)):
+                seeds.append(np.arange(start, start + frag))
+    for seed in seeds:
+        idx = seed
+        prev = -1.0
+        for _ in range(max_iters):
+            out = score_from_subset(idx)
+            if out is None:
+                break
+            score, dist = out
+            best = max(best, score)
+            if abs(score - prev) < 1e-7:
+                break
+            prev = score
+            cutoff = max(d0, 4.5)
+            new_idx = np.nonzero(dist < cutoff)[0]
+            if len(new_idx) < 3:
+                break
+            idx = new_idx
+    return best
+
+
+def calc_tm_score(
+    pos_1: np.ndarray,
+    pos_2: np.ndarray,
+    seq_1: Optional[str] = None,
+    seq_2: Optional[str] = None,
+):
+    """TM-score pair (normalized by each chain's length), mirroring the
+    reference's tmtools contract (`metrics.py:44-46`)."""
+    try:
+        from se3_diffusion_tpu.evaluation import tmalign
+
+        return tmalign.tm_score_pair(pos_1, pos_2)
+    except (ImportError, OSError):
+        s = tm_score_fixed_alignment(pos_1, pos_2)
+        return s, s
+
+
+def ca_ca_metrics(ca_pos: np.ndarray, bond_tol: float = CA_CA_TOL) -> Dict:
+    """Chain-bond deviation/validity + clash count
+    (reference `metrics.py:120-132`)."""
+    bond_dists = np.linalg.norm(ca_pos[:-1] - ca_pos[1:], axis=-1)
+    valid = float((np.abs(bond_dists - rc.CA_CA) < bond_tol).mean())
+    deviation = float(np.abs(bond_dists - rc.CA_CA).mean())
+    pair = np.linalg.norm(ca_pos[:, None] - ca_pos[None, :], axis=-1)
+    iu = np.triu_indices(len(ca_pos), k=2)
+    clashes = int((pair[iu] < CLASH_DIST).sum())
+    return {
+        "ca_ca_deviation": deviation,
+        "ca_ca_valid_percent": valid,
+        "num_ca_clashes": clashes,
+    }
+
+
+def backbone_metrics(
+    atom37: np.ndarray, atom37_mask: Optional[np.ndarray] = None
+) -> Dict:
+    """Full per-sample geometry report (the reference's
+    `protein_metrics` without the external-tool paths,
+    `metrics.py:75-118`)."""
+    if atom37_mask is None:
+        atom37_mask = np.any(atom37 != 0.0, axis=-1).astype(np.float32)
+    ca = atom37[:, CA_IDX]
+    out = ca_ca_metrics(ca)
+    out.update(ss_lib.ss_percentages(atom37, atom37_mask))
+    out["radius_gyration"] = ss_lib.radius_of_gyration(ca)
+    return out
+
+
+def self_consistency_metrics(
+    sample_ca: np.ndarray, refold_ca: np.ndarray
+) -> Dict:
+    """scRMSD / scTM between a sampled backbone and its refolded
+    prediction (reference `inference_se3_diffusion.py:387-403`)."""
+    tm1, _ = calc_tm_score(refold_ca, sample_ca)
+    return {
+        "tm_score": float(tm1),
+        "rmsd": calc_aligned_rmsd(refold_ca, sample_ca),
+    }

@@ -1,0 +1,163 @@
+"""Inference orchestration: length sweep, trajectory output, self-consistency.
+
+Equivalent of the reference `experiments/inference_se3_diffusion.py`
+`Sampler` (:63-459): iterate lengths x samples with directory-based
+resumability, write sample/bb_traj/x0_traj PDBs, then (optionally) run the
+self-consistency pipeline — sequence design -> folding -> scTM/scRMSD ->
+sc_results.csv.
+
+Sequence design and folding are pluggable callables so the pipeline runs
+with the in-repo JAX ProteinMPNN (`models/protein_mpnn.py`) and any
+folding backend (a served ESMFold, a local JAX port, or a mock in tests);
+the reference hard-wires subprocess ProteinMPNN + fair-esm ESMFold.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import numpy as np
+import pandas as pd
+
+from se3_diffusion_tpu.config import Config
+from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
+from se3_diffusion_tpu.evaluation import metrics as metrics_lib
+from se3_diffusion_tpu.models.score_network import ScoreNetwork
+from se3_diffusion_tpu.proteins import protein, residue_constants as rc
+from se3_diffusion_tpu.sampling.sampler import sample_backbones
+
+logger = logging.getLogger(__name__)
+
+# (atom37 [N,37,3], num_seqs, rng_seed) -> list of sequences.
+SequenceDesigner = Callable[[np.ndarray, int, int], List[str]]
+# (sequence) -> atom37 [N,37,3] predicted structure.
+Folder = Callable[[str], np.ndarray]
+
+
+@dataclasses.dataclass
+class InferenceRunner:
+    cfg: Config
+    model: ScoreNetwork
+    params: object
+    diffuser: SE3Diffuser
+    sequence_designer: Optional[SequenceDesigner] = None
+    folder: Optional[Folder] = None
+
+    def run_sampling(
+        self, lengths: Optional[Sequence[int]] = None, output_dir: Optional[str] = None
+    ) -> pd.DataFrame:
+        """Length sweep with per-directory resumability (reference
+        `run_sampling`, :193-234)."""
+        inf = self.cfg.inference
+        samples_cfg = inf.samples
+        output_dir = output_dir or inf.output_dir
+        if lengths is None:
+            lengths = range(
+                samples_cfg.min_length,
+                samples_cfg.max_length + 1,
+                samples_cfg.length_step,
+            )
+        rows = []
+        for length in lengths:
+            length_dir = os.path.join(output_dir, f"length_{length}")
+            os.makedirs(length_dir, exist_ok=True)
+            for i in range(samples_cfg.samples_per_length):
+                sample_dir = os.path.join(length_dir, f"sample_{i}")
+                if os.path.isdir(sample_dir):
+                    logger.info("Skipping existing %s", sample_dir)
+                    continue
+                os.makedirs(sample_dir, exist_ok=True)
+                row = self.sample_one(length, i, sample_dir)
+                rows.append(row)
+        return pd.DataFrame(rows)
+
+    def sample_one(self, length: int, index: int, sample_dir: str) -> dict:
+        inf = self.cfg.inference
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(inf.seed), length * 1000 + index
+        )
+        out = sample_backbones(
+            key,
+            self.model,
+            self.params,
+            self.diffuser,
+            num_res=length,
+            num_samples=1,
+            num_t=inf.diffusion.num_t,
+            min_t=inf.diffusion.min_t,
+            noise_scale=inf.diffusion.noise_scale,
+            aux_traj=True,
+        )
+        atom37 = np.asarray(out.atom37)[0]
+        paths = self.save_traj(
+            atom37,
+            np.asarray(out.atom37_traj)[:, 0],
+            np.asarray(out.x0_traj)[:, 0],
+            np.ones(length),
+            sample_dir,
+        )
+        row = {"length": length, "sample": index, **paths}
+        row.update(metrics_lib.backbone_metrics(atom37))
+        if self.sequence_designer is not None and self.folder is not None:
+            sc = self.run_self_consistency(atom37, sample_dir)
+            row.update(sc)
+        return row
+
+    def save_traj(
+        self,
+        sample: np.ndarray,
+        bb_traj: np.ndarray,
+        x0_traj: np.ndarray,
+        diffuse_mask: np.ndarray,
+        output_dir: str,
+    ) -> dict:
+        """Writes sample.pdb, bb_traj.pdb, x0_traj.pdb with the diffusion
+        mask in the b-factor column (reference `save_traj`, :236-293)."""
+        b = np.tile(diffuse_mask[:, None] * 100.0, (1, rc.ATOM_TYPE_NUM))
+        paths = {}
+        with open(os.path.join(output_dir, "sample_1.pdb"), "w") as f:
+            f.write(protein.to_pdb(protein.create_protein(sample, b_factors=b)))
+        paths["sample_path"] = os.path.join(output_dir, "sample_1.pdb")
+        for name, traj in (("bb_traj", bb_traj), ("x0_traj", x0_traj)):
+            prots = [
+                protein.create_protein(frame, b_factors=b) for frame in traj
+            ]
+            path = os.path.join(output_dir, f"{name}_1.pdb")
+            with open(path, "w") as f:
+                f.write(protein.to_pdb_multi(prots))
+            paths[f"{name}_path"] = path
+        return paths
+
+    def run_self_consistency(self, atom37: np.ndarray, sample_dir: str) -> dict:
+        """sequence design -> fold -> scTM/scRMSD; writes sc_results.csv
+        (reference `run_self_consistency`, :295-407)."""
+        inf = self.cfg.inference
+        seqs = self.sequence_designer(
+            atom37, inf.samples.seq_per_sample, inf.seed
+        )
+        sc_dir = os.path.join(sample_dir, "self_consistency")
+        os.makedirs(sc_dir, exist_ok=True)
+        rows = []
+        sample_ca = atom37[:, 1]
+        for si, seq in enumerate(seqs):
+            folded = self.folder(seq)
+            fold_path = os.path.join(sc_dir, f"folded_{si}.pdb")
+            with open(fold_path, "w") as f:
+                aatype = np.asarray(
+                    [rc.RESTYPE_ORDER.get(c, rc.RESTYPE_NUM) for c in seq]
+                )
+                f.write(
+                    protein.to_pdb(protein.create_protein(folded, aatype=aatype))
+                )
+            m = metrics_lib.self_consistency_metrics(sample_ca, folded[:, 1])
+            rows.append({"sequence": seq, "folded_path": fold_path, **m})
+        df = pd.DataFrame(rows)
+        df.to_csv(os.path.join(sc_dir, "sc_results.csv"), index=False)
+        return {
+            "sc_rmsd_min": float(df.rmsd.min()),
+            "sc_tm_max": float(df.tm_score.max()),
+            "designable": bool(df.rmsd.min() < 2.0),
+        }

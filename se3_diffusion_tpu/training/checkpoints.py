@@ -1,0 +1,111 @@
+"""Checkpoint save/restore via orbax.
+
+Same payload contract as the reference's `du.write_checkpoint`
+(`data/utils.py:324-362`: model + optimizer + config + epoch/step, keep
+only the latest by default) plus torch-checkpoint warm starts through
+`interop.torch_convert` so released reference weights drop in.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from se3_diffusion_tpu.training.train_step import TrainState
+
+
+def _config_to_json(cfg) -> str:
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        raise TypeError(type(o))
+
+    return json.dumps(cfg, default=enc)
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save(state, epoch), restore latest."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 1):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, state: TrainState, epoch: int, cfg=None) -> None:
+        step = int(state.step)
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": step,
+            "epoch": epoch,
+        }
+        extras = {"config_json": _config_to_json(cfg) if cfg is not None else ""}
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                meta=ocp.args.JsonSave(extras),
+            ),
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(
+        self, template_state: TrainState
+    ) -> Tuple[Optional[TrainState], int]:
+        """Restores the latest checkpoint into the template's structure.
+
+        Returns (state, epoch); (None, 0) when no checkpoint exists.
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, 0
+        template = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "step": 0,
+            "epoch": 0,
+        }
+        out = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        payload = out["state"]
+        state = TrainState(
+            step=jax.numpy.asarray(payload["step"]),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+        )
+        return state, int(payload["epoch"])
+
+    def close(self):
+        self._mgr.close()
+
+
+def warm_start_params(path: str, model_conf) -> Any:
+    """Loads params from either an orbax dir or a torch .pth checkpoint."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from se3_diffusion_tpu.interop.torch_convert import convert_checkpoint
+
+        params, _ = convert_checkpoint(path, model_conf)
+        return params
+    mgr = ocp.CheckpointManager(os.path.abspath(path))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"No checkpoint under {path}")
+    out = mgr.restore(step)
+    return out["state"]["params"]

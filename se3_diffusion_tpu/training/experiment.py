@@ -1,0 +1,230 @@
+"""Experiment runtime: the training driver loop.
+
+The functional core (losses, train_step) lives elsewhere; this module is
+the operational shell the reference packs into its `Experiment` god-class
+(`experiments/train_se3_diffusion.py:51-517`): dataset/sampler wiring,
+epoch loop, steps/sec logging, periodic + early checkpointing,
+in-training eval with metrics CSV, NaN tripwire, warm starts. Design
+differences:
+
+* One jitted step does noising+forward+backward+update on device; the
+  host loop only feeds clean batches (no CPU noising workers).
+* DDP-rank plumbing is replaced by `jax.process_index()` data striding;
+  parameters live replicated on the ('dp','sp') mesh.
+* wandb is optional; metrics always stream to a JSONL file next to the
+  checkpoints (the observability contract of SURVEY.md section 5.5).
+"""
+from __future__ import annotations
+
+import collections
+import json
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3_diffusion_tpu.config import Config
+from se3_diffusion_tpu.data.dataset import PdbDataset
+from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
+from se3_diffusion_tpu.models.score_network import ScoreNetwork
+from se3_diffusion_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from se3_diffusion_tpu.training import checkpoints as ckpt_lib
+from se3_diffusion_tpu.training.train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class NanLossError(RuntimeError):
+    """Raised when training hits a non-finite loss (reference NaN abort,
+    `train_se3_diffusion.py:448-454`)."""
+
+
+class Experiment:
+    def __init__(self, cfg: Config, use_mesh: bool = True):
+        self.cfg = cfg
+        self.diffuser = SE3Diffuser.create(cfg.diffuser)
+        self.model = ScoreNetwork(cfg.model)
+        self.mesh = (
+            create_mesh() if use_mesh and len(jax.devices()) > 1 else None
+        )
+        self._step_fn = make_train_step(self.model, cfg, mesh=self.mesh)
+
+        key = jax.random.PRNGKey(cfg.inference.seed)
+        self.state = create_train_state(key, cfg, self.model)
+        self.epoch = 0
+
+        exp = cfg.experiment
+        self.ckpt_dir = os.path.join(exp.ckpt_dir, exp.name)
+        self.ckpt_mgr = ckpt_lib.CheckpointManager(self.ckpt_dir)
+        restored, epoch = self.ckpt_mgr.restore(self.state)
+        if restored is not None:
+            self.state, self.epoch = restored, epoch
+            logger.info("Resumed from step %d", int(self.state.step))
+        elif exp.warm_start:
+            params = ckpt_lib.warm_start_params(exp.warm_start, cfg.model)
+            self.state = self.state._replace(params=params)
+            logger.info("Warm-started params from %s", exp.warm_start)
+
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+            self.diffuser = replicate(self.mesh, self.diffuser)
+
+        self._metrics_path = os.path.join(self.ckpt_dir, "metrics.jsonl")
+        self._recent = collections.deque(maxlen=100)
+        self._wandb = None
+        if exp.use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="se3_diffusion_tpu", name=exp.name)
+            except ImportError:
+                logger.warning("wandb requested but not installed; skipping")
+
+    # -- data -----------------------------------------------------------------
+
+    def train_batches(self, dataset: PdbDataset, epoch: int) -> Iterator[Dict]:
+        exp = self.cfg.experiment
+        index_batches = dataset.epoch_indices(
+            epoch,
+            exp.sample_mode,
+            exp.batch_size,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        for idx in index_batches:
+            batch = dataset.make_batch(idx, exp.max_squared_res)
+            if self.mesh is not None:
+                dp = self.mesh.shape["dp"]
+                bsz = batch["res_mask"].shape[0]
+                if bsz % dp != 0:
+                    # Pad with empty examples to a dp multiple; their
+                    # res_mask is zero so they contribute nothing.
+                    pad = dp - bsz % dp
+                    batch = {
+                        k: np.concatenate([v, np.zeros_like(v[:pad])])
+                        if not isinstance(v, list)
+                        else v
+                        for k, v in batch.items()
+                    }
+                    for p in range(pad):
+                        batch["rigids_0"][bsz + p, :, 0] = 1.0
+                yield shard_batch(self.mesh, batch)
+            else:
+                yield {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # -- logging ---------------------------------------------------------------
+
+    def _log(self, record: Dict) -> None:
+        os.makedirs(os.path.dirname(self._metrics_path), exist_ok=True)
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(record, step=record.get("step"))
+
+    # -- training ----------------------------------------------------------------
+
+    def train(
+        self,
+        dataset: PdbDataset,
+        valid_dataset: Optional[PdbDataset] = None,
+        max_steps: Optional[int] = None,
+    ) -> TrainState:
+        exp = self.cfg.experiment
+        key = jax.random.PRNGKey(int(self.state.step) + 1)
+        log_time = time.time()
+        log_steps = 0
+        for epoch in range(self.epoch, exp.num_epoch):
+            for batch in self.train_batches(dataset, epoch):
+                key, sub = jax.random.split(key)
+                self.state, aux = self._step_fn(self.state, self.diffuser, batch, sub)
+                step = int(self.state.step)
+                log_steps += 1
+                loss = float(aux["loss"])
+                if not np.isfinite(loss):
+                    self._log({"step": step, "event": "nan_loss"})
+                    raise NanLossError(f"Non-finite loss at step {step}")
+                self._recent.append({k: float(v) for k, v in aux.items()})
+
+                if step % exp.log_freq == 0 or step == 1:
+                    elapsed = time.time() - log_time
+                    rec = {
+                        "step": step,
+                        "epoch": epoch,
+                        "steps_per_sec": log_steps / max(elapsed, 1e-9),
+                        **{
+                            k: float(np.mean([r[k] for r in self._recent]))
+                            for k in self._recent[-1]
+                        },
+                    }
+                    self._log(rec)
+                    logger.info(
+                        "step %d loss %.4f (%.2f steps/s)",
+                        step, rec["loss"], rec["steps_per_sec"],
+                    )
+                    log_time, log_steps = time.time(), 0
+
+                early = exp.early_ckpt and step == 100
+                if step % exp.ckpt_freq == 0 or early:
+                    self.ckpt_mgr.save(self.state, epoch, self.cfg)
+                    if valid_dataset is not None:
+                        self.run_eval(valid_dataset, step)
+
+                if max_steps is not None and step >= max_steps:
+                    self.ckpt_mgr.save(self.state, epoch, self.cfg)
+                    return self.state
+            self.epoch = epoch
+        return self.state
+
+    # -- eval -----------------------------------------------------------------
+
+    def run_eval(self, valid_dataset: PdbDataset, step: int) -> Dict:
+        """Samples at the validation lengths and scores geometry metrics
+        (the reference's in-training `eval_fn`,
+        `train_se3_diffusion.py:459-517`)."""
+        from se3_diffusion_tpu.evaluation import metrics as metrics_lib
+        from se3_diffusion_tpu.proteins import protein
+        from se3_diffusion_tpu.sampling import sample_backbones
+
+        exp = self.cfg.experiment
+        eval_dir = os.path.join(exp.eval_dir, exp.name, f"step_{step}")
+        os.makedirs(eval_dir, exist_ok=True)
+        params = self.state.params
+        lengths = sorted(
+            set(int(r.modeled_seq_len) for _, r in valid_dataset.df.iterrows())
+        )
+        rows = []
+        for length in lengths[: self.cfg.data.num_eval_lengths]:
+            out = sample_backbones(
+                jax.random.PRNGKey(step + length),
+                self.model,
+                params,
+                self.diffuser,
+                num_res=length,
+                num_samples=self.cfg.data.samples_per_eval_length,
+                num_t=self.cfg.data.num_t,
+                min_t=self.cfg.data.min_t,
+                noise_scale=exp.noise_scale,
+            )
+            atom37 = np.asarray(out.atom37)
+            for i in range(atom37.shape[0]):
+                pdb_path = os.path.join(eval_dir, f"len_{length}_sample_{i}.pdb")
+                with open(pdb_path, "w") as f:
+                    f.write(protein.to_pdb(protein.create_protein(atom37[i])))
+                m = metrics_lib.backbone_metrics(atom37[i])
+                rows.append({"length": length, "sample": i, **m})
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        df.to_csv(os.path.join(eval_dir, "metrics.csv"), index=False)
+        means = {f"eval_{k}": float(v) for k, v in df.mean(numeric_only=True).items()}
+        self._log({"step": step, **means})
+        return means

@@ -1,0 +1,216 @@
+"""Experiment runtime + checkpoint + metrics + inference-runner tests."""
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from se3_diffusion_tpu.config import (
+    Config,
+    DataConfig,
+    DiffuserConfig,
+    ExperimentConfig,
+    InferenceConfig,
+    InferenceDiffusionConfig,
+    InferenceSamplesConfig,
+    IpaConfig,
+    ModelConfig,
+    SO3Config,
+)
+from se3_diffusion_tpu.evaluation import metrics as metrics_lib
+from tests.helpers import build_backbone
+
+SMALL_MODEL = ModelConfig(
+    node_embed_size=32,
+    edge_embed_size=16,
+    ipa=IpaConfig(
+        c_s=32, c_z=16, c_hidden=16, c_skip=8, no_heads=2, no_qk_points=4,
+        no_v_points=6, seq_tfmr_num_heads=2, seq_tfmr_num_layers=1,
+        num_blocks=2,
+    ),
+)
+SMALL_DIFF = DiffuserConfig(
+    so3=SO3Config(num_omega=100, num_sigma=50, cache_dir="", series_l=200)
+)
+
+
+class TestMetrics:
+    def test_ideal_helix_geometry(self):
+        atom37, mask = build_backbone(40)
+        m = metrics_lib.backbone_metrics(atom37, mask)
+        # Ideal geometry: every CA-CA bond near 3.8, no clashes.
+        assert m["ca_ca_valid_percent"] > 0.95
+        assert m["ca_ca_deviation"] < 0.1
+        assert m["num_ca_clashes"] == 0
+        assert m["helix_percent"] > 0.5
+
+    def test_tm_score_identity(self):
+        atom37, _ = build_backbone(60)
+        ca = atom37[:, 1]
+        tm, _ = metrics_lib.calc_tm_score(ca, ca)
+        assert tm > 0.99
+
+    def test_tm_score_rotation_invariant(self):
+        from scipy.spatial.transform import Rotation
+
+        atom37, _ = build_backbone(60)
+        ca = atom37[:, 1].astype(np.float64)
+        rot = Rotation.from_rotvec([0.3, -1.0, 2.0]).as_matrix()
+        ca_rot = ca @ rot.T + np.asarray([5.0, -3.0, 10.0])
+        tm, _ = metrics_lib.calc_tm_score(ca_rot, ca)
+        assert tm > 0.99
+        assert metrics_lib.calc_aligned_rmsd(ca_rot, ca) < 1e-3
+
+    def test_tm_score_discriminates(self):
+        helix, _ = build_backbone(60, phi=-57, psi=-47)
+        strand, _ = build_backbone(60, phi=-120, psi=120)
+        tm, _ = metrics_lib.calc_tm_score(helix[:, 1], strand[:, 1])
+        assert tm < 0.5
+
+    def test_clash_detection(self):
+        atom37, mask = build_backbone(20)
+        atom37[10, 1] = atom37[3, 1] + 0.5  # manufactured clash
+        m = metrics_lib.backbone_metrics(atom37, mask)
+        assert m["num_ca_clashes"] >= 1
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from se3_diffusion_tpu.models.score_network import ScoreNetwork
+        from se3_diffusion_tpu.training import create_train_state
+        from se3_diffusion_tpu.training.checkpoints import CheckpointManager
+
+        cfg = Config(model=SMALL_MODEL, diffuser=SMALL_DIFF)
+        model = ScoreNetwork(cfg.model)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, model, 8)
+        state = state._replace(step=state.step + 7)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(state, epoch=3, cfg=cfg)
+        template = create_train_state(jax.random.PRNGKey(1), cfg, model, 8)
+        restored, epoch = mgr.restore(template)
+        assert epoch == 3
+        assert int(restored.step) == 7
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+        mgr.close()
+
+    def test_restore_empty(self, tmp_path):
+        from se3_diffusion_tpu.models.score_network import ScoreNetwork
+        from se3_diffusion_tpu.training import create_train_state
+        from se3_diffusion_tpu.training.checkpoints import CheckpointManager
+
+        cfg = Config(model=SMALL_MODEL, diffuser=SMALL_DIFF)
+        model = ScoreNetwork(cfg.model)
+        template = create_train_state(jax.random.PRNGKey(0), cfg, model, 8)
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        state, epoch = mgr.restore(template)
+        assert state is None and epoch == 0
+        mgr.close()
+
+
+class TestInferenceRunner:
+    @pytest.fixture(scope="class")
+    def runner(self, tmp_path_factory):
+        from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
+        from se3_diffusion_tpu.models.score_network import init_score_network
+        from se3_diffusion_tpu.sampling.inference import InferenceRunner
+
+        out_dir = str(tmp_path_factory.mktemp("inference"))
+        cfg = Config(
+            model=SMALL_MODEL,
+            diffuser=SMALL_DIFF,
+            inference=InferenceConfig(
+                output_dir=out_dir,
+                diffusion=InferenceDiffusionConfig(num_t=4, noise_scale=0.1),
+                samples=InferenceSamplesConfig(
+                    samples_per_length=2, seq_per_sample=2,
+                    min_length=16, max_length=24, length_step=8,
+                ),
+            ),
+        )
+        diffuser = SE3Diffuser.create(cfg.diffuser)
+        model, params = init_score_network(jax.random.PRNGKey(0), cfg.model, 8)
+
+        def mock_designer(atom37, num_seqs, seed):
+            return ["A" * atom37.shape[0]] * num_seqs
+
+        def mock_folder(seq):
+            atom37, _ = build_backbone(len(seq))
+            return atom37
+
+        return InferenceRunner(
+            cfg=cfg, model=model, params=params, diffuser=diffuser,
+            sequence_designer=mock_designer, folder=mock_folder,
+        ), out_dir
+
+    def test_length_sweep_with_self_consistency(self, runner):
+        r, out_dir = runner
+        df = r.run_sampling()
+        # lengths {16, 24} x 2 samples.
+        assert len(df) == 4
+        assert set(df.length) == {16, 24}
+        assert {"sc_rmsd_min", "sc_tm_max", "designable"} <= set(df.columns)
+        sample_dir = os.path.join(out_dir, "length_16", "sample_0")
+        assert os.path.exists(os.path.join(sample_dir, "sample_1.pdb"))
+        assert os.path.exists(os.path.join(sample_dir, "bb_traj_1.pdb"))
+        assert os.path.exists(
+            os.path.join(sample_dir, "self_consistency", "sc_results.csv")
+        )
+
+    def test_resumability(self, runner):
+        r, _ = runner
+        df = r.run_sampling()  # everything exists now
+        assert len(df) == 0
+
+
+class TestExperimentLoop:
+    def test_train_with_ckpt_and_resume(self, tmp_path):
+        """Short end-to-end: train 3 steps with ckpt_freq 2, restart, resume."""
+        from se3_diffusion_tpu.data.dataset import PdbDataset
+        from se3_diffusion_tpu.training.experiment import Experiment
+        from tests.helpers import to_mmcif
+        from se3_diffusion_tpu.data.process_dataset import main as process_main
+
+        raw = tmp_path / "raw" / "aa"
+        raw.mkdir(parents=True)
+        for i, n in enumerate([32, 40]):
+            atom37, mask = build_backbone(n)
+            (raw / f"aa{i:02d}.cif").write_text(to_mmcif(atom37, mask))
+        write_dir = str(tmp_path / "processed")
+        process_main(
+            ["--mmcif_dir", str(tmp_path / "raw"), "--write_dir", write_dir,
+             "--num_processes", "1", "--min_file_size", "10", "--min_len", "20"]
+        )
+        cfg = Config(
+            model=SMALL_MODEL,
+            diffuser=SMALL_DIFF,
+            data=DataConfig(
+                csv_path=os.path.join(write_dir, "metadata.csv"),
+                cluster_path="", min_len=10, max_loop_percent=1.1,
+                rog_quantile=0.0,
+            ),
+            experiment=ExperimentConfig(
+                name="t", ckpt_dir=str(tmp_path / "ckpt"),
+                eval_dir=str(tmp_path / "eval"), batch_size=2,
+                ckpt_freq=2, log_freq=1, early_ckpt=False,
+                sample_mode="length_batch",
+            ),
+        )
+        exp = Experiment(cfg, use_mesh=False)
+        exp.train(PdbDataset(cfg.data), valid_dataset=None, max_steps=3)
+        assert int(exp.state.step) == 3
+        assert os.path.exists(exp._metrics_path)
+        exp.ckpt_mgr.close()
+
+        # Fresh Experiment resumes from the step-3 checkpoint.
+        exp2 = Experiment(cfg, use_mesh=False)
+        assert int(exp2.state.step) == 3
+        exp2.ckpt_mgr.close()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
