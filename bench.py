@@ -24,12 +24,16 @@ def main():
     from se3_diffusion_tpu.models.score_network import init_score_network
     from se3_diffusion_tpu.sampling import sample_backbones
 
+    from se3_diffusion_tpu.config import ModelConfig
+
     num_res = int(os.environ.get("BENCH_LEN", 300))
     batch = int(os.environ.get("BENCH_BATCH", 4))
     num_t = int(os.environ.get("BENCH_NUM_T", 500))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     cfg = Config(
-        diffuser=DiffuserConfig(so3=SO3Config(cache_dir=".cache/igso3"))
+        diffuser=DiffuserConfig(so3=SO3Config(cache_dir=".cache/igso3")),
+        model=ModelConfig(activation_dtype=dtype),
     )
     diffuser = SE3Diffuser.create(cfg.diffuser)
     model, params = init_score_network(jax.random.PRNGKey(0), cfg.model, 8)

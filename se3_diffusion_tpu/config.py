@@ -88,6 +88,10 @@ class ModelConfig:
     node_embed_size: int = 256
     edge_embed_size: int = 128
     dropout: float = 0.0
+    # Activation dtype for the dense compute path ('float32'|'bfloat16').
+    # Params stay float32; frame geometry, softmax and score conversion
+    # always run in float32 regardless.
+    activation_dtype: str = "float32"
     embed: EmbedConfig = field(default_factory=EmbedConfig)
     ipa: IpaConfig = field(default_factory=IpaConfig)
 

@@ -76,12 +76,17 @@ class InvariantPointAttention(nn.Module):
         h, ch = c.no_heads, c.c_hidden
         pq, pv = c.no_qk_points, c.no_v_points
         b, n = s.shape[0], s.shape[1]
+        dt = self.dtype or jnp.float32
 
-        q = Linear(h * ch, name="linear_q")(s).reshape(b, n, h, ch)
-        kv = Linear(2 * h * ch, name="linear_kv")(s).reshape(b, n, h, 2 * ch)
+        q = Linear(h * ch, dtype=dt, name="linear_q")(s).reshape(b, n, h, ch)
+        kv = Linear(2 * h * ch, dtype=dt, name="linear_kv")(s).reshape(
+            b, n, h, 2 * ch
+        )
         k, v = jnp.split(kv, 2, axis=-1)
 
-        # Points in local frames, lifted to global coordinates.
+        # Points in local frames, lifted to global coordinates. Geometry
+        # stays float32 regardless of the activation dtype: point distances
+        # feed attention logits and bf16's ~3 digits are not enough there.
         rot = r.rot_mats()  # [B, N, 3, 3]
 
         def lift(pts_local):  # [B, N, P, 3] -> global
@@ -91,25 +96,36 @@ class InvariantPointAttention(nn.Module):
             )
 
         q_pts_local = _split_point_channels(
-            Linear(h * pq * 3, name="linear_q_points")(s), h * pq
+            Linear(h * pq * 3, dtype=dt, name="linear_q_points")(s).astype(
+                jnp.float32
+            ),
+            h * pq,
         )
         kv_pts_local = _split_point_channels(
-            Linear(h * (pq + pv) * 3, name="linear_kv_points")(s), h * (pq + pv)
+            Linear(h * (pq + pv) * 3, dtype=dt, name="linear_kv_points")(
+                s
+            ).astype(jnp.float32),
+            h * (pq + pv),
         )
         q_pts = lift(q_pts_local).reshape(b, n, h, pq, 3)
         kv_pts = lift(kv_pts_local).reshape(b, n, h, pq + pv, 3)
         k_pts, v_pts = kv_pts[..., :pq, :], kv_pts[..., pq:, :]
 
-        # --- attention logits --------------------------------------------
+        # --- attention logits (accumulated in float32) ---------------------
         # Scalar term: [B, H, N, N].
-        a = jnp.einsum("bihc,bjhc->bhij", q, k) * math.sqrt(1.0 / (3 * ch))
+        a = jnp.einsum(
+            "bihc,bjhc->bhij", q, k, preferred_element_type=jnp.float32
+        ) * math.sqrt(1.0 / (3 * ch))
         # Pair bias.
-        pair_bias = Linear(h, name="linear_b")(z)  # [B, N, N, H]
-        a = a + math.sqrt(1.0 / 3) * jnp.moveaxis(pair_bias, -1, -3)
+        pair_bias = Linear(h, dtype=dt, name="linear_b")(z)  # [B, N, N, H]
+        a = a + math.sqrt(1.0 / 3) * jnp.moveaxis(
+            pair_bias.astype(jnp.float32), -1, -3
+        )
 
         # Point-distance term via the expanded square: the cross term is a
         # batched matmul over the flattened (P, 3) axis (MXU), the squared
-        # norms broadcast (VPU).
+        # norms broadcast (VPU). Contraction dim is only 3*Pq, so fp32 here
+        # costs ~nothing relative to the pair MLPs.
         head_weights = jax.nn.softplus(
             self.param("head_weights", nn.initializers.zeros_init(), (h,))
         ) * math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
@@ -128,12 +144,16 @@ class InvariantPointAttention(nn.Module):
         # Mask: pairs with any masked endpoint get -inf.
         square_mask = _MASK_INF * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
         a = a + square_mask
-        a = jax.nn.softmax(a, axis=-1)  # [B, H, N, N]
+        a = jax.nn.softmax(a, axis=-1).astype(dt)  # fp32 softmax, dt matmuls
 
         # --- outputs ------------------------------------------------------
-        o = jnp.einsum("bhij,bjhc->bihc", a, v).reshape(b, n, h * ch)
+        o = jnp.einsum("bhij,bjhc->bihc", a, v.astype(dt)).reshape(b, n, h * ch)
 
-        o_pt_global = jnp.einsum("bhij,bjhpx->bihpx", a, v_pts)  # [B,N,H,Pv,3]
+        o_pt_global = jnp.einsum(
+            "bhij,bjhpx->bihpx",
+            a.astype(jnp.float32),
+            v_pts,
+        )  # [B,N,H,Pv,3]
         # Back to local coordinates of frame i.
         o_pt_local = jnp.einsum(
             "bnji,bnhpj->bnhpi", rot, o_pt_global - r.trans[:, :, None, None, :]
@@ -143,8 +163,8 @@ class InvariantPointAttention(nn.Module):
         )
         o_pt_flat = o_pt_local.reshape(b, n, h * pv, 3)
 
-        pair_z = Linear(c.c_z // 4, name="down_z")(z)  # [B, N, N, cz/4]
-        o_pair = jnp.einsum("bhij,bijc->bihc", a, pair_z).reshape(
+        pair_z = Linear(c.c_z // 4, dtype=dt, name="down_z")(z)  # [B,N,N,cz/4]
+        o_pair = jnp.einsum("bhij,bijc->bihc", a, pair_z.astype(dt)).reshape(
             b, n, h * (c.c_z // 4)
         )
 
@@ -152,16 +172,16 @@ class InvariantPointAttention(nn.Module):
         # [o, o_pt x-coords, y-coords, z-coords, o_pt norms, o_pair].
         o_feats = jnp.concatenate(
             [
-                o,
-                o_pt_flat[..., 0],
-                o_pt_flat[..., 1],
-                o_pt_flat[..., 2],
-                o_pt_norm,
-                o_pair,
+                o.astype(dt),
+                o_pt_flat[..., 0].astype(dt),
+                o_pt_flat[..., 1].astype(dt),
+                o_pt_flat[..., 2].astype(dt),
+                o_pt_norm.astype(dt),
+                o_pair.astype(dt),
             ],
             axis=-1,
         )
-        return Linear(c.c_s, init="final", name="linear_out")(o_feats)
+        return Linear(c.c_s, init="final", dtype=dt, name="linear_out")(o_feats)
 
 
 class StructureModuleTransition(nn.Module):
@@ -172,14 +192,15 @@ class StructureModuleTransition(nn.Module):
 
     @nn.compact
     def __call__(self, s: Array) -> Array:
+        dt = self.dtype or jnp.float32
         s0 = s
-        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = Linear(self.c, init="relu", dtype=dt, name="linear_1")(s)
         s = jax.nn.relu(s)
-        s = Linear(self.c, init="relu", name="linear_2")(s)
+        s = Linear(self.c, init="relu", dtype=dt, name="linear_2")(s)
         s = jax.nn.relu(s)
-        s = Linear(self.c, init="final", name="linear_3")(s)
+        s = Linear(self.c, init="final", dtype=dt, name="linear_3")(s)
         s = s + s0
-        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, name="ln")(s)
+        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=dt, name="ln")(s)
 
 
 class EdgeTransition(nn.Module):
@@ -194,8 +215,11 @@ class EdgeTransition(nn.Module):
 
     @nn.compact
     def __call__(self, node_embed: Array, edge_embed: Array) -> Array:
+        dt = self.dtype or jnp.float32
         bias_size = self.node_embed_size // self.node_dilation
-        node_small = Linear(bias_size, init="relu", name="initial_embed")(node_embed)
+        node_small = Linear(
+            bias_size, init="relu", dtype=dt, name="initial_embed"
+        )(node_embed)
         n = node_small.shape[-2]
         edge_bias = jnp.concatenate(
             [
@@ -204,13 +228,15 @@ class EdgeTransition(nn.Module):
             ],
             axis=-1,
         )
-        x = jnp.concatenate([edge_embed, edge_bias], axis=-1)
+        x = jnp.concatenate([edge_embed.astype(dt), edge_bias], axis=-1)
         skip = x
         for i in range(self.num_layers):
-            x = Linear(x.shape[-1], init="relu", name=f"trunk_{i}")(x)
+            x = Linear(x.shape[-1], init="relu", dtype=dt, name=f"trunk_{i}")(x)
             x = jax.nn.relu(x)
-        x = Linear(self.edge_embed_out, init="final", name="final_layer")(x + skip)
-        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, name="ln")(x)
+        x = Linear(
+            self.edge_embed_out, init="final", dtype=dt, name="final_layer"
+        )(x + skip)
+        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=dt, name="ln")(x)
 
 
 class BackboneUpdate(nn.Module):
@@ -230,14 +256,20 @@ class TorsionAngles(nn.Module):
     num_torsions: int = 1
     eps: float = 1e-8
 
+    dtype: jnp.dtype | None = None
+
     @nn.compact
     def __call__(self, s: Array):
+        dt = self.dtype or jnp.float32
         s0 = s
-        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = Linear(self.c, init="relu", dtype=dt, name="linear_1")(s)
         s = jax.nn.relu(s)
-        s = Linear(self.c, name="linear_2")(s)
+        s = Linear(self.c, dtype=dt, name="linear_2")(s)
         s = s + s0
-        unnorm = Linear(self.num_torsions * 2, init="final", name="linear_final")(s)
+        # Normalization in float32: psi drives atom placement.
+        unnorm = Linear(
+            self.num_torsions * 2, init="final", dtype=dt, name="linear_final"
+        )(s).astype(jnp.float32)
         denom = jnp.sqrt(
             jnp.maximum(jnp.sum(unnorm**2, axis=-1, keepdims=True), self.eps)
         )
@@ -276,10 +308,13 @@ class IpaTrunk(nn.Module):
             (rigids_out [B, N] unscaled, psi [B, N, 2], node_embed).
         """
         c = self.model_conf.ipa
+        dt = self.dtype or jnp.float32
         curr = rigids_in.scale_translation(c.coordinate_scaling)
         edge_mask = node_mask[..., :, None] * node_mask[..., None, :]
 
-        init_node_embed = init_node_embed * node_mask[..., None]
+        node_mask = node_mask.astype(dt)
+        init_node_embed = init_node_embed.astype(dt) * node_mask[..., None]
+        edge_embed = edge_embed.astype(dt)
         node_embed = init_node_embed
         for blk in range(c.num_blocks):
             ipa_out = InvariantPointAttention(
@@ -287,12 +322,12 @@ class IpaTrunk(nn.Module):
             )(node_embed, edge_embed, curr, node_mask)
             ipa_out = ipa_out * node_mask[..., None]
             node_embed = nn.LayerNorm(
-                epsilon=LAYER_NORM_EPS, name=f"ipa_ln_{blk}"
+                epsilon=LAYER_NORM_EPS, dtype=dt, name=f"ipa_ln_{blk}"
             )(node_embed + ipa_out)
 
-            skip = Linear(c.c_skip, init="final", name=f"skip_embed_{blk}")(
-                init_node_embed
-            )
+            skip = Linear(
+                c.c_skip, init="final", dtype=dt, name=f"skip_embed_{blk}"
+            )(init_node_embed)
             tfmr_in = jnp.concatenate([node_embed, skip], axis=-1)
             tfmr_out = TorchTransformerEncoder(
                 num_layers=c.seq_tfmr_num_layers,
@@ -302,26 +337,32 @@ class IpaTrunk(nn.Module):
                 name=f"seq_tfmr_{blk}",
             )(tfmr_in, key_padding_mask=node_mask)
             node_embed = node_embed + Linear(
-                c.c_s, init="final", name=f"post_tfmr_{blk}"
+                c.c_s, init="final", dtype=dt, name=f"post_tfmr_{blk}"
             )(tfmr_out)
             node_embed = StructureModuleTransition(
-                c.c_s, name=f"node_transition_{blk}"
+                c.c_s, dtype=self.dtype, name=f"node_transition_{blk}"
             )(node_embed)
             node_embed = node_embed * node_mask[..., None]
 
             update = BackboneUpdate(name=f"bb_update_{blk}")(
-                node_embed * diffuse_mask[..., None]
+                node_embed * diffuse_mask.astype(dt)[..., None]
             )
-            curr = curr.compose_q_update_vec(update, diffuse_mask[..., None])
+            # Frame updates always compose in float32.
+            curr = curr.compose_q_update_vec(
+                update.astype(jnp.float32), diffuse_mask[..., None]
+            )
 
             if blk < c.num_blocks - 1:
                 edge_embed = EdgeTransition(
                     node_embed_size=c.c_s,
                     edge_embed_out=self.model_conf.edge_embed_size,
+                    dtype=self.dtype,
                     name=f"edge_transition_{blk}",
                 )(node_embed, edge_embed)
-                edge_embed = edge_embed * edge_mask[..., None]
+                edge_embed = edge_embed * edge_mask.astype(dt)[..., None]
 
-        _, psi = TorsionAngles(c.c_s, 1, name="torsion_pred")(node_embed)
+        _, psi = TorsionAngles(c.c_s, 1, dtype=self.dtype, name="torsion_pred")(
+            node_embed
+        )
         rigids_out = curr.scale_translation(1.0 / c.coordinate_scaling)
         return rigids_out, psi, node_embed

@@ -51,20 +51,24 @@ class ScoreNetwork(nn.Module):
         edge_mask = bb_mask[..., :, None] * bb_mask[..., None, :]
         diffuse_mask = (1.0 - fixed_mask) * bb_mask
 
+        dtype = self.dtype
+        if dtype is None and self.model_conf.activation_dtype != "float32":
+            dtype = jnp.dtype(self.model_conf.activation_dtype)
+
         node_embed, edge_embed = Embedder(
-            self.model_conf, dtype=self.dtype, name="embedder"
+            self.model_conf, dtype=dtype, name="embedder"
         )(
             seq_idx=feats["seq_idx"],
             t=feats["t"],
             fixed_mask=fixed_mask,
             self_conditioning_ca=feats["sc_ca_t"],
         )
-        node_embed = node_embed * bb_mask[..., None]
-        edge_embed = edge_embed * edge_mask[..., None]
+        node_embed = node_embed * bb_mask.astype(node_embed.dtype)[..., None]
+        edge_embed = edge_embed * edge_mask.astype(edge_embed.dtype)[..., None]
 
         rigids_in = Rigid.from_tensor_7(feats["rigids_t"].astype(jnp.float32))
         rigids_pred, psi, node_out = IpaTrunk(
-            self.model_conf, dtype=self.dtype, name="trunk"
+            self.model_conf, dtype=dtype, name="trunk"
         )(node_embed, edge_embed, rigids_in, bb_mask, diffuse_mask)
 
         return {
