@@ -1,0 +1,402 @@
+"""ProteinMPNN (inverse folding) in JAX/flax.
+
+Re-implementation of the message-passing architecture of Dauparas et al.
+2022 with the same tensor contracts as the vendored reference CLI
+(`ProteinMPNN/protein_mpnn_utils.py`: ProteinFeatures :899, EncLayer :602,
+DecLayer :650, ProteinMPNN :998), so released `.pt` weights convert
+directly (see `interop/mpnn_convert.py`). Used by the self-consistency
+pipeline (sample -> design sequences -> fold -> scRMSD), replacing the
+reference's subprocess invocation (`inference_se3_diffusion.py:315-356`).
+
+TPU-first design notes:
+
+* The k-NN graph uses static k; all gathers are `jnp.take_along_axis`
+  with static shapes.
+* Autoregressive sampling runs as a `lax.scan` over decode steps where
+  each step recomputes the full-width decoder stack and reads the active
+  position's logits. That is O(N) more FLOPs than the reference's
+  per-position cache walk — and still <1% of a diffusion trajectory's
+  cost — in exchange for one compiled program with perfectly regular
+  shapes (the reference's incremental cache update is a scatter-heavy,
+  latency-bound pattern on any accelerator).
+* Teacher-forced `forward` and `sample` share the decoder; causality
+  comes from the decoding-order mask exactly as in the reference, so
+  sampled sequences score identically under `forward`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# ProteinMPNN's alphabet (index -> letter), 21 = 20 aa + X.
+MPNN_ALPHABET = "ACDEFGHIKLMNPQRSTVWYX"
+LN_EPS = 1e-5  # torch LayerNorm default, for weight parity
+
+
+class MPNNConfig(NamedTuple):
+    num_letters: int = 21
+    node_features: int = 128
+    edge_features: int = 128
+    hidden_dim: int = 128
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 3
+    k_neighbors: int = 48
+    num_rbf: int = 16
+    num_positional_embeddings: int = 16
+    max_relative_feature: int = 32
+    augment_eps: float = 0.0
+
+
+def _rbf(d: Array, num_rbf: int) -> Array:
+    d_min, d_max = 2.0, 22.0
+    mu = jnp.linspace(d_min, d_max, num_rbf)
+    sigma = (d_max - d_min) / num_rbf
+    return jnp.exp(-(((d[..., None] - mu) / sigma) ** 2))
+
+
+def _gather_nodes(nodes: Array, e_idx: Array) -> Array:
+    """[B, N, C] + [B, N, K] -> [B, N, K, C]."""
+    b, n, k = e_idx.shape
+    flat = jnp.take_along_axis(
+        nodes[:, :, None, :].repeat(1, axis=2),
+        e_idx[..., None].repeat(nodes.shape[-1], axis=-1).reshape(b, n * k, 1, -1)[
+            :, :, 0:1, :
+        ].reshape(b, n * k, 1, nodes.shape[-1])[:, :, 0, :][:, :, None, :] * 0,
+        axis=1,
+    )  # placeholder; replaced below
+    raise NotImplementedError
+
+
+def gather_nodes(nodes: Array, e_idx: Array) -> Array:
+    """[B, N, C] gathered at [B, N, K] -> [B, N, K, C]."""
+    b, n, k = e_idx.shape
+    c = nodes.shape[-1]
+    idx = e_idx.reshape(b, n * k)[..., None]
+    out = jnp.take_along_axis(nodes, idx.repeat(c, axis=-1), axis=1)
+    return out.reshape(b, n, k, c)
+
+
+class PositionWiseFeedForward(nn.Module):
+    num_hidden: int
+    num_ff: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = jax.nn.gelu(nn.Dense(self.num_ff, name="W_in")(x), approximate=False)
+        return nn.Dense(self.num_hidden, name="W_out")(h)
+
+
+class EncLayer(nn.Module):
+    """Node+edge message passing (reference EncLayer :602-647)."""
+
+    num_hidden: int
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, h_v, h_e, e_idx, mask_v, mask_attend):
+        # Node update.
+        h_ev = jnp.concatenate(
+            [
+                jnp.repeat(h_v[:, :, None, :], h_e.shape[2], axis=2),
+                h_e,
+                gather_nodes(h_v, e_idx),
+            ],
+            axis=-1,
+        )
+        m = nn.Dense(self.num_hidden, name="W1")(h_ev)
+        m = nn.Dense(self.num_hidden, name="W2")(jax.nn.gelu(m, approximate=False))
+        m = nn.Dense(self.num_hidden, name="W3")(jax.nn.gelu(m, approximate=False))
+        m = m * mask_attend[..., None]
+        dh = m.sum(axis=-2) / self.scale
+        h_v = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(h_v + dh)
+        dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4, name="dense")(h_v)
+        h_v = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(h_v + dh)
+        h_v = h_v * mask_v[..., None]
+
+        # Edge update.
+        h_ev = jnp.concatenate(
+            [
+                jnp.repeat(h_v[:, :, None, :], h_e.shape[2], axis=2),
+                h_e,
+                gather_nodes(h_v, e_idx),
+            ],
+            axis=-1,
+        )
+        m = nn.Dense(self.num_hidden, name="W11")(h_ev)
+        m = nn.Dense(self.num_hidden, name="W12")(jax.nn.gelu(m, approximate=False))
+        m = nn.Dense(self.num_hidden, name="W13")(jax.nn.gelu(m, approximate=False))
+        h_e = nn.LayerNorm(epsilon=LN_EPS, name="norm3")(h_e + m)
+        return h_v, h_e
+
+
+class DecLayer(nn.Module):
+    """Decoder message passing (reference DecLayer :650-689)."""
+
+    num_hidden: int
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, h_v, h_esv, mask_v):
+        h_ev = jnp.concatenate(
+            [jnp.repeat(h_v[:, :, None, :], h_esv.shape[2], axis=2), h_esv],
+            axis=-1,
+        )
+        m = nn.Dense(self.num_hidden, name="W1")(h_ev)
+        m = nn.Dense(self.num_hidden, name="W2")(jax.nn.gelu(m, approximate=False))
+        m = nn.Dense(self.num_hidden, name="W3")(jax.nn.gelu(m, approximate=False))
+        dh = m.sum(axis=-2) / self.scale
+        h_v = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(h_v + dh)
+        dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4, name="dense")(h_v)
+        h_v = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(h_v + dh)
+        return h_v * mask_v[..., None]
+
+
+class ProteinFeatures(nn.Module):
+    """Backbone -> k-NN edge features (reference ProteinFeatures :899-997)."""
+
+    cfg: MPNNConfig
+
+    @nn.compact
+    def __call__(self, x, mask, residue_idx, chain_labels):
+        """
+        Args:
+            x: [B, N, 4, 3] backbone atoms (N, CA, C, O).
+            mask: [B, N].
+            residue_idx: [B, N] (with chain gaps already applied).
+            chain_labels: [B, N] integer chain ids.
+
+        Returns:
+            (edge features [B, N, K, edge_features], e_idx [B, N, K]).
+        """
+        cfg = self.cfg
+        n_atoms, ca, c, o = x[:, :, 0], x[:, :, 1], x[:, :, 2], x[:, :, 3]
+        bvec = ca - n_atoms
+        cvec = c - ca
+        avec = jnp.cross(bvec, cvec)
+        # Virtual Cb (ideal tetrahedral construction; same constants as the
+        # reference :947-950).
+        cb = -0.58273431 * avec + 0.56802827 * bvec - 0.54067466 * cvec + ca
+
+        # k-NN on Ca distances, masked pairs pushed to the far end.
+        mask2d = mask[:, :, None] * mask[:, None, :]
+        d = jnp.sqrt(
+            jnp.sum((ca[:, :, None] - ca[:, None, :]) ** 2, -1) + 1e-6
+        )
+        d_masked = jnp.where(mask2d > 0, d, 1e6)
+        k = min(cfg.k_neighbors, x.shape[1])
+        neg_d, e_idx = jax.lax.top_k(-d_masked, k)
+        d_neighbors = -neg_d
+
+        atoms = {"N": n_atoms, "Ca": ca, "C": c, "O": o, "Cb": cb}
+        # Exact reference RBF ordering (:958-984) — required for weight
+        # conversion compatibility.
+        pair_order = [
+            ("Ca", "Ca"), ("N", "N"), ("C", "C"), ("O", "O"), ("Cb", "Cb"),
+            ("Ca", "N"), ("Ca", "C"), ("Ca", "O"), ("Ca", "Cb"), ("N", "C"),
+            ("N", "O"), ("N", "Cb"), ("Cb", "C"), ("Cb", "O"), ("O", "C"),
+            ("N", "Ca"), ("C", "Ca"), ("O", "Ca"), ("Cb", "Ca"), ("C", "N"),
+            ("O", "N"), ("Cb", "N"), ("C", "Cb"), ("O", "Cb"), ("C", "O"),
+        ]
+        rbfs = [_rbf(d_neighbors, cfg.num_rbf)]
+        for a_name, b_name in pair_order[1:]:
+            a, b = atoms[a_name], atoms[b_name]
+            dd = jnp.sqrt(
+                jnp.sum((a[:, :, None] - b[:, None, :]) ** 2, -1) + 1e-6
+            )
+            d_nb = jnp.take_along_axis(dd, e_idx, axis=2)
+            rbfs.append(_rbf(d_nb, cfg.num_rbf))
+        rbf_all = jnp.concatenate(rbfs, axis=-1)
+
+        offset = residue_idx[:, :, None] - residue_idx[:, None, :]
+        offset = jnp.take_along_axis(offset, e_idx, axis=2)
+        same_chain = (
+            chain_labels[:, :, None] == chain_labels[:, None, :]
+        ).astype(jnp.int32)
+        e_chains = jnp.take_along_axis(same_chain, e_idx, axis=2)
+        # Positional encoding (reference PositionalEncodings :704-716):
+        # clipped offset one-hot, with a dedicated "different chain" bin.
+        mrf = cfg.max_relative_feature
+        dclip = jnp.clip(offset + mrf, 0, 2 * mrf) * e_chains + (
+            1 - e_chains
+        ) * (2 * mrf + 1)
+        d_onehot = jax.nn.one_hot(dclip, 2 * mrf + 2)
+        e_pos = nn.Dense(cfg.num_positional_embeddings, name="pos_linear")(d_onehot)
+
+        e = jnp.concatenate([e_pos, rbf_all], axis=-1)
+        e = nn.Dense(cfg.edge_features, use_bias=False, name="edge_embedding")(e)
+        e = nn.LayerNorm(epsilon=LN_EPS, name="norm_edges")(e)
+        return e, e_idx
+
+
+class ProteinMPNN(nn.Module):
+    """Graph-conditioned autoregressive sequence model."""
+
+    cfg: MPNNConfig = MPNNConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        self.features = ProteinFeatures(cfg, name="features")
+        self.w_e = nn.Dense(cfg.hidden_dim, name="W_e")
+        self.w_s = nn.Embed(cfg.num_letters, cfg.hidden_dim, name="W_s")
+        self.enc_layers = [
+            EncLayer(cfg.hidden_dim, name=f"enc_{i}")
+            for i in range(cfg.num_encoder_layers)
+        ]
+        self.dec_layers = [
+            DecLayer(cfg.hidden_dim, name=f"dec_{i}")
+            for i in range(cfg.num_decoder_layers)
+        ]
+        self.w_out = nn.Dense(cfg.num_letters, name="W_out")
+
+    def encode(self, x, mask, residue_idx, chain_labels):
+        e, e_idx = self.features(x, mask, residue_idx, chain_labels)
+        h_v = jnp.zeros(e.shape[:2] + (self.cfg.hidden_dim,), e.dtype)
+        h_e = self.w_e(e)
+        mask_attend = (
+            mask[:, :, None]
+            * jnp.take_along_axis(
+                jnp.broadcast_to(mask[:, None, :], (mask.shape[0],) + (mask.shape[1],) * 2),
+                e_idx,
+                axis=2,
+            )
+        )
+        for layer in self.enc_layers:
+            h_v, h_e = layer(h_v, h_e, e_idx, mask, mask_attend)
+        return h_v, h_e, e_idx
+
+    def _order_masks(self, decoding_order, e_idx, mask):
+        """mask_bw[b,i,k] = 1 if neighbor e_idx[b,i,k] decodes before i."""
+        n = decoding_order.shape[-1]
+        rank = jnp.argsort(decoding_order, axis=-1)  # position -> decode step
+        before = rank[:, :, None] > rank[:, None, :]  # [B, N, N]: j before i
+        mask_attend = jnp.take_along_axis(
+            before.astype(jnp.float32), e_idx, axis=2
+        )[..., None]
+        mask_1d = mask[:, :, None, None]
+        return mask_1d * mask_attend, mask_1d * (1.0 - mask_attend)
+
+    def decoder_logits(
+        self, h_v_enc, h_e, e_idx, mask, seq, decoding_order
+    ):
+        """Runs the full decoder stack under the order mask; [B, N, 21]."""
+        h_s = self.w_s(seq)
+        h_es = jnp.concatenate([h_e, gather_nodes(h_s, e_idx)], axis=-1)
+        zeros = jnp.zeros_like(h_s)
+        h_ex_encoder = jnp.concatenate([h_e, gather_nodes(zeros, e_idx)], axis=-1)
+        h_exv_encoder = jnp.concatenate(
+            [h_ex_encoder, gather_nodes(h_v_enc, e_idx)], axis=-1
+        )
+        mask_bw, mask_fw = self._order_masks(decoding_order, e_idx, mask)
+        h_exv_encoder_fw = mask_fw * h_exv_encoder
+        h_v = h_v_enc
+        for layer in self.dec_layers:
+            h_esv = jnp.concatenate([h_es, gather_nodes(h_v, e_idx)], axis=-1)
+            h_esv = mask_bw * h_esv + h_exv_encoder_fw
+            h_v = layer(h_v, h_esv, mask)
+        return self.w_out(h_v)
+
+    def __call__(self, x, seq, mask, residue_idx, chain_labels, decoding_order):
+        """Teacher-forced log-probs [B, N, 21] (reference forward :1036-1080)."""
+        h_v, h_e, e_idx = self.encode(x, mask, residue_idx, chain_labels)
+        logits = self.decoder_logits(h_v, h_e, e_idx, mask, seq, decoding_order)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+
+def random_decoding_order(key: jax.Array, mask: Array) -> Array:
+    """Random order over valid positions; masked positions decode first
+    (they only ever contribute encoder features), matching the reference's
+    argsort((chain_M + eps) * |randn|) trick (:1063)."""
+    noise = jnp.abs(jax.random.normal(key, mask.shape))
+    return jnp.argsort((mask + 1e-4) * noise, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "temperature"))
+def sample_sequences(
+    model: ProteinMPNN,
+    params,
+    key: jax.Array,
+    x: Array,
+    mask: Array,
+    residue_idx: Array,
+    chain_labels: Array,
+    temperature: float = 0.1,
+    omit_x: bool = True,
+) -> Dict[str, Array]:
+    """Autoregressive sampling. Returns {'seq': [B, N], 'log_probs': ...}.
+
+    Each scan step recomputes the decoder at full width and commits the
+    active position (see module docstring for why this is the right TPU
+    trade).
+    """
+    b, n = mask.shape
+    key_order, key_scan = jax.random.split(key)
+    decoding_order = random_decoding_order(key_order, mask)
+
+    def apply_encode(p, *a):
+        return model.apply({"params": p}, *a, method=ProteinMPNN.encode)
+
+    h_v, h_e, e_idx = apply_encode(params, x, mask, residue_idx, chain_labels)
+
+    bias = jnp.zeros((model.cfg.num_letters,))
+    if omit_x:
+        bias = bias.at[MPNN_ALPHABET.index("X")].set(-1e9)
+
+    def step(carry, t):
+        seq, k = carry
+        k, sub = jax.random.split(k)
+        logits = model.apply(
+            {"params": params},
+            h_v, h_e, e_idx, mask, seq, decoding_order,
+            method=ProteinMPNN.decoder_logits,
+        )
+        pos = decoding_order[:, t]  # [B]
+        pos_logits = jnp.take_along_axis(
+            logits, pos[:, None, None].repeat(logits.shape[-1], -1), axis=1
+        )[:, 0]
+        pos_logits = pos_logits / temperature + bias
+        tok = jax.random.categorical(sub, pos_logits, axis=-1)
+        seq = seq.at[jnp.arange(b), pos].set(tok)
+        return (seq, k), None
+
+    seq0 = jnp.zeros((b, n), jnp.int32)
+    (seq, _), _ = jax.lax.scan(step, (seq0, key_scan), jnp.arange(n))
+
+    log_probs = model.apply(
+        {"params": params}, x, seq, mask, residue_idx, chain_labels, decoding_order
+    )
+    return {"seq": seq, "log_probs": log_probs, "decoding_order": decoding_order}
+
+
+def seq_to_string(seq: Array, mask: Array) -> str:
+    return "".join(
+        MPNN_ALPHABET[int(s)] for s, m in zip(seq, mask) if m > 0.5
+    )
+
+
+def make_sequence_designer(model: ProteinMPNN, params, temperature: float = 0.1):
+    """Adapts ProteinMPNN to the InferenceRunner SequenceDesigner protocol."""
+    import numpy as np
+
+    def designer(atom37: "np.ndarray", num_seqs: int, seed: int):
+        n = atom37.shape[0]
+        x = jnp.asarray(atom37[None, :, [0, 1, 2, 4], :], jnp.float32)
+        x = jnp.repeat(x, num_seqs, axis=0)
+        mask = jnp.ones((num_seqs, n), jnp.float32)
+        residue_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None], (num_seqs, 1))
+        chains = jnp.zeros((num_seqs, n), jnp.int32)
+        out = sample_sequences(
+            model, params, jax.random.PRNGKey(seed), x, mask, residue_idx,
+            chains, temperature=temperature,
+        )
+        return [
+            seq_to_string(np.asarray(out["seq"][i]), np.asarray(mask[i]))
+            for i in range(num_seqs)
+        ]
+
+    return designer
