@@ -41,6 +41,43 @@ Array = jax.Array
 _MASK_INF = 1e5  # reference uses inf=1e5 (`ipa_pytorch.py:243`)
 
 
+def _pallas_attention(
+    q, k, v, q_pts, k_pts, v_pts, pair_bias, pair_z, mask, head_weights,
+    *, num_heads,
+):
+    """Pads to tile multiples and invokes the fused Pallas kernel."""
+    from se3_diffusion_tpu.ops.pallas.ipa_attention import fused_ipa_attention
+
+    b, n = mask.shape
+    tile = 128 if n >= 128 else max(8, 1 << (n - 1).bit_length())
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    def pad_n(x, axes):
+        widths = [(0, 0)] * x.ndim
+        for ax in axes:
+            widths[ax] = (0, pad)
+        return jnp.pad(x, widths) if pad else x
+
+    o, opt, opair = fused_ipa_attention(
+        pad_n(q, (1,)),
+        pad_n(k, (1,)),
+        pad_n(v, (1,)),
+        pad_n(q_pts, (1,)),
+        pad_n(k_pts, (1,)),
+        pad_n(v_pts, (1,)),
+        pad_n(pair_bias, (1, 2)),
+        pad_n(pair_z, (1, 2)),
+        pad_n(mask, (1,)),
+        head_weights,
+        num_heads=num_heads,
+        tile_q=tile,
+        tile_n=tile,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return o[:, :n], opt[:, :n], opair[:, :n]
+
+
 def _split_point_channels(x: Array, num_points: int) -> Array:
     """[..., 3*P] laid out as (all x, all y, all z) -> [..., P, 3].
 
@@ -141,19 +178,35 @@ class InvariantPointAttention(nn.Module):
         )  # [B, H, N, N] = sum over points of |qp_i - kp_j|^2
         a = a - 0.5 * head_weights[None, :, None, None] * sq_dists
 
-        # Mask: pairs with any masked endpoint get -inf.
-        square_mask = _MASK_INF * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
-        a = a + square_mask
-        a = jax.nn.softmax(a, axis=-1).astype(dt)  # fp32 softmax, dt matmuls
+        pair_z = Linear(c.c_z // 4, dtype=dt, name="down_z")(z)  # [B,N,N,cz/4]
 
-        # --- outputs ------------------------------------------------------
-        o = jnp.einsum("bhij,bjhc->bihc", a, v.astype(dt)).reshape(b, n, h * ch)
+        if c.attention_impl == "pallas":
+            o, o_pt_global, o_pair = _pallas_attention(
+                q, k, v, q_pts, k_pts, v_pts, pair_bias, pair_z, mask,
+                head_weights, num_heads=h,
+            )
+            o = o.astype(dt)
+            o_pair = o_pair.astype(dt)
+        else:
+            # Mask: pairs with any masked endpoint get -inf.
+            square_mask = _MASK_INF * (
+                mask[:, None, :, None] * mask[:, None, None, :] - 1.0
+            )
+            a = a + square_mask
+            a = jax.nn.softmax(a, axis=-1).astype(dt)  # fp32 softmax
 
-        o_pt_global = jnp.einsum(
-            "bhij,bjhpx->bihpx",
-            a.astype(jnp.float32),
-            v_pts,
-        )  # [B,N,H,Pv,3]
+            o = jnp.einsum("bhij,bjhc->bihc", a, v.astype(dt)).reshape(
+                b, n, h * ch
+            )
+            o_pt_global = jnp.einsum(
+                "bhij,bjhpx->bihpx",
+                a.astype(jnp.float32),
+                v_pts,
+            )  # [B,N,H,Pv,3]
+            o_pair = jnp.einsum(
+                "bhij,bijc->bihc", a, pair_z.astype(dt)
+            ).reshape(b, n, h * (c.c_z // 4))
+
         # Back to local coordinates of frame i.
         o_pt_local = jnp.einsum(
             "bnji,bnhpj->bnhpi", rot, o_pt_global - r.trans[:, :, None, None, :]
@@ -162,11 +215,8 @@ class InvariantPointAttention(nn.Module):
             b, n, h * pv
         )
         o_pt_flat = o_pt_local.reshape(b, n, h * pv, 3)
-
-        pair_z = Linear(c.c_z // 4, dtype=dt, name="down_z")(z)  # [B,N,N,cz/4]
-        o_pair = jnp.einsum("bhij,bijc->bihc", a, pair_z.astype(dt)).reshape(
-            b, n, h * (c.c_z // 4)
-        )
+        o = o.reshape(b, n, h * ch)
+        o_pair = o_pair.reshape(b, n, h * (c.c_z // 4))
 
         # Concat order matches the reference (`ipa_pytorch.py:462-469`):
         # [o, o_pt x-coords, y-coords, z-coords, o_pt norms, o_pair].
