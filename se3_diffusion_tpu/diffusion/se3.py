@@ -189,6 +189,27 @@ class SE3Diffuser:
             trans_next = _mask_blend(trans_next, trans_t, m)
         return Rigid.from_rotvec(rot_next, trans_next)
 
+    def forward_trajectory(
+        self, key: jax.Array, trans_0: Array, min_t: float, num_t: int
+    ) -> Array:
+        """Forward-diffusion trajectory of translations (scaled space), a
+        lax.scan port of reference `forward_traj`
+        (`train_se3_diffusion.py:708-716`). Returns [num_t, ..., 3]."""
+        ts = jnp.linspace(min_t, 1.0, num_t)[:-1]
+
+        def step(carry, inp):
+            x, k = carry
+            k, sub = jax.random.split(k)
+            t = inp
+            x_next = r3.forward_step(sub, self.cfg.r3, x, t, num_t)
+            # forward_step returns scaled coords; keep the chain in
+            # unscaled space like the reference loop.
+            x_next = r3.unscale(self.cfg.r3, x_next)
+            return (x_next, k), x_next
+
+        (_, _), traj = jax.lax.scan(step, (trans_0, key), ts)
+        return jnp.concatenate([trans_0[None], traj], axis=0)
+
     # -- reference distribution ----------------------------------------------
 
     def sample_ref(

@@ -74,6 +74,7 @@ def sample_fn(
     init_rigids: Array,
     res_mask: Array,
     fixed_mask: Array,
+    motif_torsions: Optional[Array] = None,
     *,
     model: ScoreNetwork,
     num_t: int = 500,
@@ -110,6 +111,10 @@ def sample_fn(
     def forward(rigids_t, t_scalar, sc_ca):
         t = jnp.full((batch,), t_scalar, dtype=jnp.float32)
         feats = _base_feats(rigids_t, res_mask, fixed_mask, t, sc_ca)
+        if motif_torsions is not None:
+            # Ground-truth psi for fixed (motif) residues, blended by the
+            # score network (reference `score_network.py:201-203`).
+            feats["torsion_angles_sin_cos"] = motif_torsions
         return score_network_forward(model, params, feats, diffuser)
 
     sc_init = jnp.zeros(init_rigids.shape[:-1] + (3,), init_rigids.dtype)
