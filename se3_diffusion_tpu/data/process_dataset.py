@@ -47,10 +47,11 @@ class Args:
 
 
 def collect_mmcif_paths(args: Args) -> List[str]:
+    """Collects .cif/.cif.gz and (process_pdb_files-style) .pdb inputs."""
     paths = []
     for root, _, files in os.walk(args.mmcif_dir):
         for fn in files:
-            if not (fn.endswith(".cif") or fn.endswith(".cif.gz")):
+            if not fn.endswith((".cif", ".cif.gz", ".pdb", ".pdb.gz")):
                 continue
             p = os.path.join(root, fn)
             size = os.path.getsize(p)
@@ -59,12 +60,47 @@ def collect_mmcif_paths(args: Args) -> List[str]:
     return sorted(paths)
 
 
+def _parse_structure(path: str) -> mmcif.ParsedMmcif:
+    """Parses either an mmCIF or a PDB file into the common chain format
+    (the reference splits this across process_pdb_dataset.py and the
+    untested process_pdb_files.py; here one CLI handles both)."""
+    if path.endswith((".cif", ".cif.gz")):
+        return mmcif.parse_mmcif_file(path)
+    import gzip
+
+    from se3_diffusion_tpu.proteins import protein as protein_lib
+    from se3_diffusion_tpu.proteins import residue_constants as rc
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        prot = protein_lib.from_pdb_string(f.read())
+    chains = {}
+    for cid in np.unique(prot.chain_index):
+        sel = prot.chain_index == cid
+        chains[rc.CHAIN_IDS[int(cid)]] = mmcif.ParsedChain(
+            chain_id=rc.CHAIN_IDS[int(cid)],
+            aatype=prot.aatype[sel],
+            atom_positions=prot.atom_positions[sel],
+            atom_mask=prot.atom_mask[sel],
+            b_factors=prot.b_factors[sel],
+            residue_index=prot.residue_index[sel],
+        )
+    return mmcif.ParsedMmcif(
+        entry_id=os.path.basename(path).split(".")[0],
+        resolution=None,
+        oligomeric_details=["unknown"],
+        oligomeric_count=[],
+        chains=chains,
+        raw_fields={},
+    )
+
+
 def process_one(path: str, args: Args) -> Optional[List[dict]]:
     """Parses one mmCIF file into per-chain pkl files + metadata rows.
     Returns None (filtered) or the metadata rows."""
     pdb_name = os.path.basename(path).split(".")[0].lower()
     try:
-        parsed = mmcif.parse_mmcif_file(path)
+        parsed = _parse_structure(path)
         if parsed.resolution is not None and parsed.resolution > args.max_resolution:
             raise DataError(f"resolution {parsed.resolution}")
         if parsed.resolution == 0.0:
