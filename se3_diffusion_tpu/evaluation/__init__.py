@@ -1,3 +1,3 @@
-from se3_diffusion_tpu.evaluation import secondary_structure
+from se3_diffusion_tpu.evaluation import metrics, secondary_structure, violations
 
-__all__ = ["secondary_structure"]
+__all__ = ["metrics", "secondary_structure", "violations"]
