@@ -48,6 +48,8 @@ class CheckpointManager:
             "step": step,
             "epoch": epoch,
         }
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
         extras = {"config_json": _config_to_json(cfg) if cfg is not None else ""}
         self._mgr.save(
             step,
@@ -77,6 +79,8 @@ class CheckpointManager:
             "step": 0,
             "epoch": 0,
         }
+        if template_state.ema_params is not None:
+            template["ema_params"] = template_state.ema_params
         out = self._mgr.restore(
             step,
             args=ocp.args.Composite(
@@ -89,6 +93,7 @@ class CheckpointManager:
             step=jax.numpy.asarray(payload["step"]),
             params=payload["params"],
             opt_state=payload["opt_state"],
+            ema_params=payload.get("ema_params"),
         )
         return state, int(payload["epoch"])
 

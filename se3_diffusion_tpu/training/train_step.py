@@ -34,6 +34,12 @@ class TrainState(NamedTuple):
     step: Array
     params: Any
     opt_state: Any
+    # Exponential moving average of params (None when disabled). The
+    # reference vendors EMA machinery without using it
+    # (`openfold/utils/exponential_moving_average.py`, SURVEY.md 2.7);
+    # here it is a first-class training option (cfg.experiment has no
+    # reference knob, so it is enabled via make_train_step/create_train_state).
+    ema_params: Any = None
 
 
 def create_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -42,7 +48,11 @@ def create_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(
-    key: jax.Array, cfg: Config, model: ScoreNetwork, num_res: int = 16
+    key: jax.Array,
+    cfg: Config,
+    model: ScoreNetwork,
+    num_res: int = 16,
+    use_ema: bool = False,
 ) -> TrainState:
     from se3_diffusion_tpu.models.score_network import dummy_features
 
@@ -52,6 +62,7 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=opt.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
     )
 
 
@@ -125,13 +136,19 @@ def loss_fn(
     return loss, aux
 
 
-def make_train_step(model: ScoreNetwork, cfg: Config, mesh: Mesh | None = None):
+def make_train_step(
+    model: ScoreNetwork,
+    cfg: Config,
+    mesh: Mesh | None = None,
+    ema_decay: float | None = None,
+):
     """Builds the jitted (optionally dp-sharded) train step.
 
     Returns step_fn(state, diffuser, batch, key) -> (state, metrics).
     With a mesh, the batch's leading dim is sharded over 'dp', params and
     optimizer state are replicated, and gradients/metrics are pmean'd over
-    ICI inside shard_map — the NCCL-allreduce equivalent.
+    ICI inside shard_map — the NCCL-allreduce equivalent. With ema_decay,
+    state.ema_params tracks an exponential moving average of params.
     """
     opt = create_optimizer(cfg)
 
@@ -145,7 +162,12 @@ def make_train_step(model: ScoreNetwork, cfg: Config, mesh: Mesh | None = None):
             aux = jax.lax.pmean(aux, DP_AXIS)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, opt_state)
+        ema = state.ema_params
+        if ema_decay is not None and ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema, params
+            )
+        new_state = TrainState(state.step + 1, params, opt_state, ema)
         aux["loss"] = loss
         aux["grad_norm"] = optax.global_norm(grads)
         return new_state, aux

@@ -148,3 +148,45 @@ class TestTrainStep:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestEma:
+    def test_ema_tracks_params(self, setup):
+        diffuser, model, _ = setup
+        state = create_train_state(
+            jax.random.PRNGKey(0), SMALL_CFG, model, 12, use_ema=True
+        )
+        step = make_train_step(model, SMALL_CFG, mesh=None, ema_decay=0.9)
+        batch = synthetic_batch(jax.random.PRNGKey(1), 2, 12)
+        p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+        for i in range(3):
+            state, _ = step(state, diffuser, batch, jax.random.PRNGKey(i))
+        p = jax.tree_util.tree_leaves(state.params)[0]
+        e = jax.tree_util.tree_leaves(state.ema_params)[0]
+        # EMA lags behind the live params but has moved off the init.
+        assert np.abs(np.asarray(e) - np.asarray(p)).max() > 0
+        assert np.abs(np.asarray(e) - np.asarray(p0)).max() > 0
+        lag = np.abs(np.asarray(e) - np.asarray(p0)).max()
+        move = np.abs(np.asarray(p) - np.asarray(p0)).max()
+        assert lag < move
+
+    def test_ema_checkpoint_roundtrip(self, setup, tmp_path):
+        from se3_diffusion_tpu.training.checkpoints import CheckpointManager
+
+        diffuser, model, _ = setup
+        state = create_train_state(
+            jax.random.PRNGKey(0), SMALL_CFG, model, 12, use_ema=True
+        )
+        step = make_train_step(model, SMALL_CFG, mesh=None, ema_decay=0.5)
+        batch = synthetic_batch(jax.random.PRNGKey(1), 2, 12)
+        state, _ = step(state, diffuser, batch, jax.random.PRNGKey(2))
+        mgr = CheckpointManager(str(tmp_path / "ema_ckpt"))
+        mgr.save(state, epoch=0)
+        template = create_train_state(
+            jax.random.PRNGKey(9), SMALL_CFG, model, 12, use_ema=True
+        )
+        restored, _ = mgr.restore(template)
+        a = jax.tree_util.tree_leaves(state.ema_params)
+        b = jax.tree_util.tree_leaves(restored.ema_params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+        mgr.close()
