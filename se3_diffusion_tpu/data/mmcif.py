@@ -125,9 +125,22 @@ def _iter_records(text: str) -> Iterator[Tuple[str, List[str]]]:
         i += 1
 
 
-def parse_mmcif_string(text: str) -> ParsedMmcif:
+def parse_mmcif_string(text: str, use_native: bool = True) -> ParsedMmcif:
     items: Dict[str, List[str]] = {}
     atom_site: Optional[Tuple[List[str], List[List[str]]]] = None
+
+    native_chains = None
+    if use_native:
+        try:
+            from se3_diffusion_tpu.data import mmcif_native
+
+            fast = mmcif_native.parse_atoms_fast(text)
+        except Exception:
+            fast = None
+        if fast is not None:
+            native_chains, (start, end) = fast
+            # Headers still parse in Python; cut the (large) atom rows out.
+            text = text[:start] + text[end:]
 
     for kind, payload in _iter_records(text):
         if kind == "item":
@@ -157,6 +170,22 @@ def parse_mmcif_string(text: str) -> ParsedMmcif:
     entry_id = (items.get("_entry.id") or ["unknown"])[0]
 
     chains: Dict[str, Dict[int, dict]] = {}
+    if native_chains is not None:
+        return ParsedMmcif(
+            entry_id=entry_id,
+            resolution=resolution,
+            oligomeric_details=[
+                v.lower()
+                for v in items.get("_pdbx_struct_assembly.oligomeric_details", [])
+            ],
+            oligomeric_count=items.get("_pdbx_struct_assembly.oligomeric_count", []),
+            chains={
+                cid: ParsedChain(chain_id=cid, **fields)
+                for cid, fields in native_chains.items()
+            },
+            raw_fields={},
+        )
+
     if atom_site is not None:
         headers, rows = atom_site
         col = {h.split(".", 1)[1]: i for i, h in enumerate(headers)}
