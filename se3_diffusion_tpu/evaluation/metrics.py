@@ -152,6 +152,24 @@ def backbone_metrics(
     return out
 
 
+def protein_metrics(
+    atom37: np.ndarray,
+    atom37_mask: Optional[np.ndarray] = None,
+    gt_ca_pos: Optional[np.ndarray] = None,
+) -> Dict:
+    """Full per-sample report: geometry + secondary structure + structural
+    violations (+ TM to ground truth when given) — the combined surface of
+    reference `protein_metrics` (`analysis/metrics.py:75-118`)."""
+    from se3_diffusion_tpu.evaluation import violations as viol_lib
+
+    out = backbone_metrics(atom37, atom37_mask)
+    out.update(viol_lib.violation_metrics(atom37, atom37_mask))
+    if gt_ca_pos is not None:
+        tm, _ = calc_tm_score(atom37[:, CA_IDX], gt_ca_pos)
+        out["tm_score"] = float(tm)
+    return out
+
+
 def self_consistency_metrics(
     sample_ca: np.ndarray, refold_ca: np.ndarray
 ) -> Dict:
