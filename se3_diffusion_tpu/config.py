@@ -150,6 +150,10 @@ class ExperimentConfig:
     dist_mat_loss_t_filter: float = 0.25
     aux_loss_weight: float = 0.25
     use_wandb: bool = False
+    # EMA parameter averaging (framework addition; the reference vendors
+    # but never uses EMA). None disables; eval/sampling prefer the EMA
+    # weights when enabled.
+    ema_decay: Optional[float] = None
 
 
 @dataclass(frozen=True)

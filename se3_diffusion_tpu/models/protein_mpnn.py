@@ -60,19 +60,6 @@ def _rbf(d: Array, num_rbf: int) -> Array:
     return jnp.exp(-(((d[..., None] - mu) / sigma) ** 2))
 
 
-def _gather_nodes(nodes: Array, e_idx: Array) -> Array:
-    """[B, N, C] + [B, N, K] -> [B, N, K, C]."""
-    b, n, k = e_idx.shape
-    flat = jnp.take_along_axis(
-        nodes[:, :, None, :].repeat(1, axis=2),
-        e_idx[..., None].repeat(nodes.shape[-1], axis=-1).reshape(b, n * k, 1, -1)[
-            :, :, 0:1, :
-        ].reshape(b, n * k, 1, nodes.shape[-1])[:, :, 0, :][:, :, None, :] * 0,
-        axis=1,
-    )  # placeholder; replaced below
-    raise NotImplementedError
-
-
 def gather_nodes(nodes: Array, e_idx: Array) -> Array:
     """[B, N, C] gathered at [B, N, K] -> [B, N, K, C]."""
     b, n, k = e_idx.shape

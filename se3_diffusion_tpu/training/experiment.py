@@ -55,10 +55,14 @@ class Experiment:
         self.mesh = (
             create_mesh() if use_mesh and len(jax.devices()) > 1 else None
         )
-        self._step_fn = make_train_step(self.model, cfg, mesh=self.mesh)
+        self._step_fn = make_train_step(
+            self.model, cfg, mesh=self.mesh, ema_decay=cfg.experiment.ema_decay
+        )
 
         key = jax.random.PRNGKey(cfg.inference.seed)
-        self.state = create_train_state(key, cfg, self.model)
+        self.state = create_train_state(
+            key, cfg, self.model, use_ema=cfg.experiment.ema_decay is not None
+        )
         self.epoch = 0
 
         exp = cfg.experiment
@@ -197,7 +201,12 @@ class Experiment:
         exp = self.cfg.experiment
         eval_dir = os.path.join(exp.eval_dir, exp.name, f"step_{step}")
         os.makedirs(eval_dir, exist_ok=True)
-        params = self.state.params
+        # Eval with the EMA weights when enabled.
+        params = (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
         lengths = sorted(
             set(int(r.modeled_seq_len) for _, r in valid_dataset.df.iterrows())
         )
@@ -219,7 +228,7 @@ class Experiment:
                 pdb_path = os.path.join(eval_dir, f"len_{length}_sample_{i}.pdb")
                 with open(pdb_path, "w") as f:
                     f.write(protein.to_pdb(protein.create_protein(atom37[i])))
-                m = metrics_lib.backbone_metrics(atom37[i])
+                m = metrics_lib.protein_metrics(atom37[i])
                 rows.append({"length": length, "sample": i, **m})
         import pandas as pd
 
