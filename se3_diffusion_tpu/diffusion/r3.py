@@ -145,8 +145,12 @@ def reverse_step(
     mask: Array | None = None,
     center: bool = True,
     noise_scale: float = 1.0,
+    probability_flow: bool = False,
 ) -> Array:
     """One reverse Euler-Maruyama step (reference `r3_diffuser.py:106-146`).
+
+    With probability_flow, integrates the deterministic probability-flow
+    ODE: dx = [f - (1/2) g^2 s] dt, no Brownian term.
 
     Mask-correct center-of-mass removal: the CoM is computed over *masked*
     residues only and subtracted from masked residues only. With an all-ones
@@ -157,8 +161,11 @@ def reverse_step(
     x = scale(cfg, x_t)
     g = _bcast(diffusion_coef(cfg, t), x)
     f = drift_coef(cfg, x, t)
-    z = noise_scale * jax.random.normal(key, score_t.shape, dtype=x.dtype)
-    perturb = (f - g**2 * score_t) * dt + g * jnp.sqrt(dt) * z
+    if probability_flow:
+        perturb = (f - 0.5 * g**2 * score_t) * dt
+    else:
+        z = noise_scale * jax.random.normal(key, score_t.shape, dtype=x.dtype)
+        perturb = (f - g**2 * score_t) * dt + g * jnp.sqrt(dt) * z
 
     if mask is None:
         mask = jnp.ones(x.shape[:-1], dtype=x.dtype)

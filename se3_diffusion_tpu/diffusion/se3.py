@@ -149,8 +149,12 @@ class SE3Diffuser:
         diffuse_mask: Array | None = None,
         center: bool = True,
         noise_scale: float = 1.0,
+        probability_flow: bool = False,
     ) -> Rigid:
-        """One joint reverse step (reference `se3_diffuser.py:160-214`)."""
+        """One joint reverse step (reference `se3_diffuser.py:160-214`).
+
+        probability_flow integrates the deterministic ODE instead of the
+        SDE (see so3/r3 reverse_step)."""
         key_rot, key_trans = jax.random.split(key)
         rot_t = rigid_t.rotvecs()
         trans_t = rigid_t.trans
@@ -164,6 +168,7 @@ class SE3Diffuser:
                 t,
                 dt,
                 noise_scale=noise_scale,
+                probability_flow=probability_flow,
             )
         else:
             rot_next = rot_t
@@ -179,6 +184,7 @@ class SE3Diffuser:
                 mask=diffuse_mask if diffuse_mask is not None else None,
                 center=center,
                 noise_scale=noise_scale,
+                probability_flow=probability_flow,
             )
         else:
             trans_next = trans_t

@@ -149,16 +149,27 @@ def reverse_step(
     dt: Array,
     mask: Array | None = None,
     noise_scale: float = 1.0,
+    probability_flow: bool = False,
 ) -> Array:
     """One geodesic-random-walk reverse step (reference `so3_diffuser.py:330-366`).
 
     rot_{t-dt} = rot_t o Exp(g^2 score dt + g sqrt(dt) z).
+
+    With probability_flow, integrates the deterministic probability-flow
+    ODE instead: the drift halves (g^2/2 score dt) and the Brownian term
+    drops — same marginals, deterministic trajectories, fewer steps
+    needed.
     """
     g = diffusion_coef(cfg, t)
-    z = noise_scale * jax.random.normal(key, score_t.shape, dtype=score_t.dtype)
     g = jnp.asarray(g)
     g_b = g.reshape(g.shape + (1,) * (score_t.ndim - g.ndim))
-    perturb = (g_b**2) * score_t * dt + g_b * jnp.sqrt(dt) * z
+    if probability_flow:
+        perturb = 0.5 * (g_b**2) * score_t * dt
+    else:
+        z = noise_scale * jax.random.normal(
+            key, score_t.shape, dtype=score_t.dtype
+        )
+        perturb = (g_b**2) * score_t * dt + g_b * jnp.sqrt(dt) * z
     if mask is not None:
         perturb = perturb * mask[..., None]
     return quat_lib.compose_rotvec(rot_t, perturb)

@@ -65,6 +65,7 @@ def _base_feats(
         "self_condition",
         "center",
         "aux_traj",
+        "probability_flow",
     ),
 )
 def sample_fn(
@@ -83,6 +84,7 @@ def sample_fn(
     self_condition: bool = True,
     center: bool = True,
     aux_traj: bool = False,
+    probability_flow: bool = False,
 ) -> SampleOutput:
     """Runs the full reverse diffusion for a batch of proteins.
 
@@ -136,6 +138,7 @@ def sample_fn(
             diffuse_mask=diffuse_mask,
             center=center,
             noise_scale=noise_scale,
+            probability_flow=probability_flow,
         ).to_tensor_7()
         sc_next = out["rigids"][..., 4:] if self_condition else sc_ca
         aux = None
@@ -196,6 +199,7 @@ def sample_backbones(
     noise_scale: float = 0.1,
     self_condition: bool = True,
     aux_traj: bool = False,
+    probability_flow: bool = False,
 ) -> SampleOutput:
     """Convenience wrapper: sample `num_samples` unconditional backbones of
     length `num_res` (reference `inference_se3_diffusion.py:418-459`)."""
@@ -217,4 +221,5 @@ def sample_backbones(
         noise_scale=noise_scale,
         self_condition=self_condition,
         aux_traj=aux_traj,
+        probability_flow=probability_flow,
     )
