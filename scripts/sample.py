@@ -39,6 +39,7 @@ def main():
     p.add_argument("--samples_per_length", type=int, default=None)
     p.add_argument("--num_t", type=int, default=None)
     p.add_argument("--noise_scale", type=float, default=None)
+    p.add_argument("--probability_flow", action="store_true")
     p.add_argument("--output_dir", default=None)
     args = p.parse_args()
 
@@ -52,6 +53,8 @@ def main():
         diffusion = dataclasses.replace(diffusion, num_t=args.num_t)
     if args.noise_scale is not None:
         diffusion = dataclasses.replace(diffusion, noise_scale=args.noise_scale)
+    if args.probability_flow:
+        diffusion = dataclasses.replace(diffusion, probability_flow=True)
     inference = dataclasses.replace(
         cfg.inference,
         samples=samples,

@@ -26,6 +26,8 @@ def main():
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None, help="YAML override file")
+    p.add_argument("--preset", default=None,
+                   help="base | icml_published | pure_dsm")
     p.add_argument("--csv_path", default=None)
     p.add_argument("--cluster_path", default=None)
     p.add_argument("--name", default=None)
@@ -34,7 +36,14 @@ def main():
     p.add_argument("--no_eval", action="store_true")
     args = p.parse_args()
 
-    cfg = config_lib.load_yaml(args.config) if args.config else config_lib.Config()
+    if args.preset:
+        from se3_diffusion_tpu import presets
+
+        cfg = presets.get(args.preset)
+    elif args.config:
+        cfg = config_lib.load_yaml(args.config)
+    else:
+        cfg = config_lib.Config()
     if args.csv_path:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, csv_path=args.csv_path)

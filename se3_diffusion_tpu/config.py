@@ -163,6 +163,9 @@ class InferenceDiffusionConfig:
     num_t: int = 500
     noise_scale: float = 0.1
     min_t: float = 0.01
+    # Deterministic probability-flow ODE integration (framework addition;
+    # same marginals, enables fewer steps).
+    probability_flow: bool = False
 
 
 @dataclass(frozen=True)

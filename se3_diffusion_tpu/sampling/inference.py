@@ -90,6 +90,7 @@ class InferenceRunner:
             min_t=inf.diffusion.min_t,
             noise_scale=inf.diffusion.noise_scale,
             aux_traj=True,
+            probability_flow=inf.diffusion.probability_flow,
         )
         atom37 = np.asarray(out.atom37)[0]
         paths = self.save_traj(

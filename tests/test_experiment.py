@@ -214,3 +214,22 @@ class TestExperimentLoop:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestPresets:
+    def test_presets_match_reference_variants(self):
+        from se3_diffusion_tpu import presets
+
+        icml = presets.get("icml_published")
+        assert icml.experiment.separate_rot_loss is False
+        assert icml.experiment.rot_loss_t_threshold == 0.0
+        assert icml.experiment.sample_mode == "time_batch"
+        assert icml.experiment.batch_size == 128
+        assert icml.experiment.max_squared_res == 300_000
+        dsm = presets.get("pure_dsm")
+        assert dsm.experiment.separate_rot_loss is False
+        assert dsm.experiment.sample_mode == "cluster_time_batch"
+        base = presets.get("base")
+        assert base.experiment.separate_rot_loss is True
+        with pytest.raises(KeyError):
+            presets.get("nope")
