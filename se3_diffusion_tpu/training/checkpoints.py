@@ -112,5 +112,7 @@ def warm_start_params(path: str, model_conf) -> Any:
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"No checkpoint under {path}")
-    out = mgr.restore(step)
+    out = mgr.restore(
+        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+    )
     return out["state"]["params"]

@@ -226,3 +226,32 @@ class TestBehavioralParity:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestWarmStartFlow:
+    def test_torch_to_orbax_to_forward(self, converted, tmp_path):
+        """Full interop flow: torch state dict -> flax -> orbax save ->
+        warm_start_params load -> forward pass."""
+        from se3_diffusion_tpu.config import Config
+        from se3_diffusion_tpu.training import create_train_state
+        from se3_diffusion_tpu.training.checkpoints import (
+            CheckpointManager,
+            warm_start_params,
+        )
+
+        _, params = converted
+        cfg = Config(model=SMALL_MODEL)
+        model = ScoreNetwork(SMALL_MODEL)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, model, 8)
+        state = state._replace(params=params)
+        out_dir = str(tmp_path / "conv")
+        mgr = CheckpointManager(out_dir)
+        mgr.save(state, epoch=0)
+        mgr.close()
+
+        loaded = warm_start_params(out_dir, SMALL_MODEL)
+        out = model.apply({"params": loaded}, dummy_features(1, 8))
+        assert np.all(np.isfinite(np.asarray(out["psi"])))
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(loaded)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
