@@ -314,8 +314,15 @@ def sample_sequences(
     chain_labels: Array,
     temperature: float = 0.1,
     omit_x: bool = True,
+    fixed_mask: Array | None = None,
+    input_seq: Array | None = None,
 ) -> Dict[str, Array]:
     """Autoregressive sampling. Returns {'seq': [B, N], 'log_probs': ...}.
+
+    fixed_mask/input_seq implement partial redesign (the reference CLI's
+    fixed-positions feature): fixed positions keep their input token and
+    decode first, so every redesigned position conditions on them — the
+    same ordering trick as the reference's chain_M argsort (:1063).
 
     Each scan step recomputes the decoder at full width and commits the
     active position (see module docstring for why this is the right TPU
@@ -323,7 +330,10 @@ def sample_sequences(
     """
     b, n = mask.shape
     key_order, key_scan = jax.random.split(key)
-    decoding_order = random_decoding_order(key_order, mask)
+    design_mask = mask
+    if fixed_mask is not None:
+        design_mask = mask * (1.0 - fixed_mask)
+    decoding_order = random_decoding_order(key_order, design_mask)
 
     def apply_encode(p, *a):
         return model.apply({"params": p}, *a, method=ProteinMPNN.encode)
@@ -348,10 +358,16 @@ def sample_sequences(
         )[:, 0]
         pos_logits = pos_logits / temperature + bias
         tok = jax.random.categorical(sub, pos_logits, axis=-1)
+        if fixed_mask is not None:
+            keep = jnp.take_along_axis(fixed_mask, pos[:, None], axis=1)[:, 0]
+            prev = jnp.take_along_axis(seq, pos[:, None], axis=1)[:, 0]
+            tok = jnp.where(keep > 0.5, prev, tok)
         seq = seq.at[jnp.arange(b), pos].set(tok)
         return (seq, k), None
 
-    seq0 = jnp.zeros((b, n), jnp.int32)
+    seq0 = (
+        jnp.zeros((b, n), jnp.int32) if input_seq is None else input_seq
+    )
     (seq, _), _ = jax.lax.scan(step, (seq0, key_scan), jnp.arange(n))
 
     log_probs = model.apply(

@@ -114,13 +114,15 @@ class Experiment:
                     # res_mask is zero so they contribute nothing.
                     pad = dp - bsz % dp
                     batch = {
-                        k: np.concatenate([v, np.zeros_like(v[:pad])])
+                        k: np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                        )
                         if not isinstance(v, list)
                         else v
                         for k, v in batch.items()
                     }
-                    for p in range(pad):
-                        batch["rigids_0"][bsz + p, :, 0] = 1.0
+                    # Identity quats keep padded frames valid.
+                    batch["rigids_0"][bsz:, :, 0] = 1.0
                 yield shard_batch(self.mesh, batch)
             else:
                 yield {k: jnp.asarray(v) for k, v in batch.items()}

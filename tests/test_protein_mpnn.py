@@ -246,3 +246,28 @@ class TestConversion:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestFixedPositions:
+    def test_fixed_positions_kept(self, model_and_params):
+        model, params = model_and_params
+        n = 20
+        x = backbone_x(n, batch=2)
+        mask = jnp.ones((2, n))
+        ridx = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None], (2, 1))
+        chains = jnp.zeros((2, n), jnp.int32)
+        fixed = jnp.zeros((2, n)).at[:, 5:10].set(1.0)
+        input_seq = jnp.full((2, n), MPNN_ALPHABET.index("W"), jnp.int32)
+        out = sample_sequences(
+            model, params, jax.random.PRNGKey(0), x, mask, ridx, chains,
+            temperature=1.0, fixed_mask=fixed, input_seq=input_seq,
+        )
+        seq = np.asarray(out["seq"])
+        # Fixed positions keep the input tokens exactly.
+        assert (seq[:, 5:10] == MPNN_ALPHABET.index("W")).all()
+        # Redesigned positions are not all W (temperature 1 sampling).
+        assert (seq[:, :5] != MPNN_ALPHABET.index("W")).any()
+        # Fixed positions decode first (condition the rest).
+        order = np.asarray(out["decoding_order"])
+        ranks = np.argsort(order, axis=-1)
+        assert ranks[:, 5:10].max() < ranks[:, :5].min()
