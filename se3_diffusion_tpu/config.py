@@ -237,3 +237,22 @@ def load_yaml(path: str) -> Config:
 def replace(cfg, **kwargs):
     """dataclasses.replace re-export for fluent overrides."""
     return dataclasses.replace(cfg, **kwargs)
+
+
+def resolve(cfg: Config) -> Config:
+    """Applies the reference's YAML interpolations to a (possibly
+    partially-overridden) config: `ipa.c_s = node_embed_size`,
+    `ipa.c_z = edge_embed_size`, and `coordinate_scaling` shared from the
+    r3 diffuser (`base.yaml:57-58,67,110`). Entry points call this after
+    overrides so e.g. changing node_embed_size alone stays consistent."""
+    ipa = dataclasses.replace(
+        cfg.model.ipa,
+        c_s=cfg.model.node_embed_size,
+        c_z=cfg.model.edge_embed_size,
+        coordinate_scaling=cfg.diffuser.r3.coordinate_scaling,
+    )
+    model = dataclasses.replace(cfg.model, ipa=ipa)
+    experiment = dataclasses.replace(
+        cfg.experiment, coordinate_scaling=cfg.diffuser.r3.coordinate_scaling
+    )
+    return dataclasses.replace(cfg, model=model, experiment=experiment)

@@ -49,6 +49,9 @@ class NanLossError(RuntimeError):
 
 class Experiment:
     def __init__(self, cfg: Config, use_mesh: bool = True):
+        from se3_diffusion_tpu.config import resolve
+
+        cfg = resolve(cfg)
         self.cfg = cfg
         self.diffuser = SE3Diffuser.create(cfg.diffuser)
         self.model = ScoreNetwork(cfg.model)
