@@ -152,6 +152,42 @@ def backbone_metrics(
     return out
 
 
+def diversity(
+    ca_positions: list, tm_cutoff: float = 0.5
+) -> Dict:
+    """Diversity = distinct structural clusters / samples.
+
+    The reference's second headline metric (README results table:
+    "Diversity (TM cutoff 0.5)"): samples are single-linkage clustered at
+    pairwise TM-score >= cutoff; diversity is num_clusters / num_samples.
+
+    Args:
+        ca_positions: list of [N_i, 3] CA traces (lengths may differ).
+    """
+    n = len(ca_positions)
+    if n == 0:
+        return {"diversity": 0.0, "num_clusters": 0, "num_samples": 0}
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            tm_i, tm_j = calc_tm_score(ca_positions[i], ca_positions[j])
+            if max(tm_i, tm_j) >= tm_cutoff:
+                parent[find(i)] = find(j)
+    clusters = len({find(i) for i in range(n)})
+    return {
+        "diversity": clusters / n,
+        "num_clusters": clusters,
+        "num_samples": n,
+    }
+
+
 def protein_metrics(
     atom37: np.ndarray,
     atom37_mask: Optional[np.ndarray] = None,

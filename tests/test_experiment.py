@@ -233,3 +233,22 @@ class TestPresets:
         assert base.experiment.separate_rot_loss is True
         with pytest.raises(KeyError):
             presets.get("nope")
+
+
+class TestDiversity:
+    def test_identical_samples_one_cluster(self):
+        atom37, _ = build_backbone(40)
+        ca = atom37[:, 1]
+        d = metrics_lib.diversity([ca, ca.copy(), ca.copy()])
+        assert d["num_clusters"] == 1
+        assert abs(d["diversity"] - 1 / 3) < 1e-9
+
+    def test_distinct_folds_separate_clusters(self):
+        helix, _ = build_backbone(40, phi=-57, psi=-47)
+        strand, _ = build_backbone(40, phi=-120, psi=120)
+        d = metrics_lib.diversity([helix[:, 1], strand[:, 1]])
+        assert d["num_clusters"] == 2
+        assert d["diversity"] == 1.0
+
+    def test_empty(self):
+        assert metrics_lib.diversity([])["num_samples"] == 0
