@@ -50,7 +50,15 @@ class InferenceRunner:
         self, lengths: Optional[Sequence[int]] = None, output_dir: Optional[str] = None
     ) -> pd.DataFrame:
         """Length sweep with per-directory resumability (reference
-        `run_sampling`, :193-234)."""
+        `run_sampling`, :193-234).
+
+        Alongside the per-sample rows, the run's two headline metrics
+        (reference README results table) are computed over ALL samples in
+        `output_dir` — including ones restored from a previous resumed run —
+        and written to `summary.json`: diversity (TM-cutoff clustering) and,
+        when the self-consistency legs are wired, the designable fraction.
+        The summary is also attached as `df.attrs["summary"]`.
+        """
         inf = self.cfg.inference
         samples_cfg = inf.samples
         output_dir = output_dir or inf.output_dir
@@ -61,6 +69,8 @@ class InferenceRunner:
                 samples_cfg.length_step,
             )
         rows = []
+        ca_traces = []
+        designable: List[bool] = []
         for length in lengths:
             length_dir = os.path.join(output_dir, f"length_{length}")
             os.makedirs(length_dir, exist_ok=True)
@@ -68,13 +78,50 @@ class InferenceRunner:
                 sample_dir = os.path.join(length_dir, f"sample_{i}")
                 if os.path.isdir(sample_dir):
                     logger.info("Skipping existing %s", sample_dir)
+                    restored = self._restore_sample(sample_dir)
+                    if restored is not None:
+                        ca, dsgn = restored
+                        ca_traces.append(ca)
+                        if dsgn is not None:
+                            designable.append(dsgn)
                     continue
                 os.makedirs(sample_dir, exist_ok=True)
-                row = self.sample_one(length, i, sample_dir)
+                row, atom37 = self.sample_one(length, i, sample_dir)
                 rows.append(row)
-        return pd.DataFrame(rows)
+                ca_traces.append(atom37[:, 1])
+                if "designable" in row:
+                    designable.append(bool(row["designable"]))
+        df = pd.DataFrame(rows)
+        summary = dict(metrics_lib.diversity(ca_traces))
+        if designable:
+            summary["designable_fraction"] = float(np.mean(designable))
+        import json
 
-    def sample_one(self, length: int, index: int, sample_dir: str) -> dict:
+        with open(os.path.join(output_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        logger.info("Sweep summary: %s", summary)
+        df.attrs["summary"] = summary
+        return df
+
+    @staticmethod
+    def _restore_sample(sample_dir: str):
+        """Recovers (ca_trace, designable-or-None) from a completed sample
+        dir so resumed sweeps still report whole-run summary metrics."""
+        path = os.path.join(sample_dir, "sample_1.pdb")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            prot = protein.from_pdb_string(f.read())
+        ca = prot.atom_positions[:, 1]
+        sc_path = os.path.join(sample_dir, "self_consistency", "sc_results.csv")
+        dsgn = None
+        if os.path.exists(sc_path):
+            sc = pd.read_csv(sc_path)
+            if len(sc):
+                dsgn = bool(sc.rmsd.min() < 2.0)
+        return ca, dsgn
+
+    def sample_one(self, length: int, index: int, sample_dir: str):
         inf = self.cfg.inference
         key = jax.random.fold_in(
             jax.random.PRNGKey(inf.seed), length * 1000 + index
@@ -105,7 +152,7 @@ class InferenceRunner:
         if self.sequence_designer is not None and self.folder is not None:
             sc = self.run_self_consistency(atom37, sample_dir)
             row.update(sc)
-        return row
+        return row, atom37
 
     def save_traj(
         self,
@@ -132,9 +179,20 @@ class InferenceRunner:
             paths[f"{name}_path"] = path
         return paths
 
-    def run_self_consistency(self, atom37: np.ndarray, sample_dir: str) -> dict:
+    def run_self_consistency(
+        self,
+        atom37: np.ndarray,
+        sample_dir: str,
+        motif_mask: Optional[np.ndarray] = None,
+    ) -> dict:
         """sequence design -> fold -> scTM/scRMSD; writes sc_results.csv
-        (reference `run_self_consistency`, :295-407)."""
+        (reference `run_self_consistency`, :295-407).
+
+        When `motif_mask` (bool/0-1 [N]) is given, each refold additionally
+        reports `motif_rmsd`: the Kabsch-aligned CA RMSD between the sampled
+        and refolded structures restricted to the motif residues (reference
+        `inference_se3_diffusion.py:372-386` — motif-scaffolding evaluation).
+        """
         inf = self.cfg.inference
         seqs = self.sequence_designer(
             atom37, inf.samples.seq_per_sample, inf.seed
@@ -143,6 +201,9 @@ class InferenceRunner:
         os.makedirs(sc_dir, exist_ok=True)
         rows = []
         sample_ca = atom37[:, 1]
+        motif_idx = None
+        if motif_mask is not None:
+            motif_idx = np.nonzero(np.asarray(motif_mask) > 0.5)[0]
         for si, seq in enumerate(seqs):
             folded = self.folder(seq)
             fold_path = os.path.join(sc_dir, f"folded_{si}.pdb")
@@ -154,11 +215,18 @@ class InferenceRunner:
                     protein.to_pdb(protein.create_protein(folded, aatype=aatype))
                 )
             m = metrics_lib.self_consistency_metrics(sample_ca, folded[:, 1])
+            if motif_idx is not None and len(motif_idx) >= 3:
+                m["motif_rmsd"] = metrics_lib.calc_aligned_rmsd(
+                    sample_ca[motif_idx], folded[:, 1][motif_idx]
+                )
             rows.append({"sequence": seq, "folded_path": fold_path, **m})
         df = pd.DataFrame(rows)
         df.to_csv(os.path.join(sc_dir, "sc_results.csv"), index=False)
-        return {
+        out = {
             "sc_rmsd_min": float(df.rmsd.min()),
             "sc_tm_max": float(df.tm_score.max()),
             "designable": bool(df.rmsd.min() < 2.0),
         }
+        if "motif_rmsd" in df:
+            out["sc_motif_rmsd_min"] = float(df.motif_rmsd.min())
+        return out

@@ -197,8 +197,9 @@ class Experiment:
 
     def run_eval(self, valid_dataset: PdbDataset, step: int) -> Dict:
         """Samples at the validation lengths and scores geometry metrics
-        (the reference's in-training `eval_fn`,
-        `train_se3_diffusion.py:459-517`)."""
+        plus TM-score to the held-out native structures (the reference's
+        in-training `eval_fn`, `train_se3_diffusion.py:459-517`, which runs
+        inference against the validation set and reports TM-to-native)."""
         from se3_diffusion_tpu.evaluation import metrics as metrics_lib
         from se3_diffusion_tpu.proteins import protein
         from se3_diffusion_tpu.sampling import sample_backbones
@@ -212,9 +213,14 @@ class Experiment:
             if self.state.ema_params is not None
             else self.state.params
         )
-        lengths = sorted(
-            set(int(r.modeled_seq_len) for _, r in valid_dataset.df.iterrows())
-        )
+        # Pair each sample with a held-out native of the same length: sample
+        # i at length L is scored (TM, geometry) against the i-th validation
+        # structure of length L.
+        by_length: Dict[int, list] = {}
+        for di in range(len(valid_dataset)):
+            row = valid_dataset.row(di)
+            by_length.setdefault(int(row.modeled_seq_len), []).append(di)
+        lengths = sorted(by_length)
         rows = []
         for length in lengths[: self.cfg.data.num_eval_lengths]:
             out = sample_backbones(
@@ -229,11 +235,18 @@ class Experiment:
                 noise_scale=exp.noise_scale,
             )
             atom37 = np.asarray(out.atom37)
+            natives = by_length[length]
             for i in range(atom37.shape[0]):
                 pdb_path = os.path.join(eval_dir, f"len_{length}_sample_{i}.pdb")
                 with open(pdb_path, "w") as f:
                     f.write(protein.to_pdb(protein.create_protein(atom37[i])))
-                m = metrics_lib.protein_metrics(atom37[i])
+                gt_ca = None
+                if natives:
+                    native = valid_dataset.load_example(
+                        natives[i % len(natives)]
+                    )
+                    gt_ca = native["atom37"][:, 1]
+                m = metrics_lib.protein_metrics(atom37[i], gt_ca_pos=gt_ca)
                 rows.append({"length": length, "sample": i, **m})
         import pandas as pd
 

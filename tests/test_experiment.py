@@ -135,8 +135,31 @@ class TestInferenceRunner:
         diffuser = SE3Diffuser.create(cfg.diffuser)
         model, params = init_score_network(jax.random.PRNGKey(0), cfg.model, 8)
 
-        def mock_designer(atom37, num_seqs, seed):
-            return ["A" * atom37.shape[0]] * num_seqs
+        # Real JAX ProteinMPNN (random weights) on the designer leg — the
+        # production code path, no mocks (folding stays mocked: no folding
+        # weights exist in this environment).
+        import jax.numpy as jnp
+
+        from se3_diffusion_tpu.models.protein_mpnn import (
+            MPNNConfig,
+            ProteinMPNN,
+            make_sequence_designer,
+        )
+
+        mpnn_cfg = MPNNConfig(
+            hidden_dim=32, node_features=32, edge_features=32, k_neighbors=8,
+            num_encoder_layers=1, num_decoder_layers=1,
+        )
+        mpnn = ProteinMPNN(mpnn_cfg)
+        n0 = 16
+        bb, _ = build_backbone(n0)
+        x = jnp.asarray(bb[None, :, [0, 1, 2, 4], :])
+        mpnn_params = mpnn.init(
+            jax.random.PRNGKey(1), x, jnp.zeros((1, n0), jnp.int32),
+            jnp.ones((1, n0)), jnp.arange(n0, dtype=jnp.int32)[None],
+            jnp.zeros((1, n0), jnp.int32), jnp.arange(n0)[None],
+        )["params"]
+        designer = make_sequence_designer(mpnn, mpnn_params)
 
         def mock_folder(seq):
             atom37, _ = build_backbone(len(seq))
@@ -144,7 +167,7 @@ class TestInferenceRunner:
 
         return InferenceRunner(
             cfg=cfg, model=model, params=params, diffuser=diffuser,
-            sequence_designer=mock_designer, folder=mock_folder,
+            sequence_designer=designer, folder=mock_folder,
         ), out_dir
 
     def test_length_sweep_with_self_consistency(self, runner):
@@ -154,17 +177,33 @@ class TestInferenceRunner:
         assert len(df) == 4
         assert set(df.length) == {16, 24}
         assert {"sc_rmsd_min", "sc_tm_max", "designable"} <= set(df.columns)
+        # MPNN-designed sequences are real per-sample strings.
+        sc = pd.read_csv(
+            os.path.join(out_dir, "length_16", "sample_0",
+                         "self_consistency", "sc_results.csv")
+        )
+        assert all(len(s) == 16 for s in sc.sequence)
         sample_dir = os.path.join(out_dir, "length_16", "sample_0")
         assert os.path.exists(os.path.join(sample_dir, "sample_1.pdb"))
         assert os.path.exists(os.path.join(sample_dir, "bb_traj_1.pdb"))
         assert os.path.exists(
             os.path.join(sample_dir, "self_consistency", "sc_results.csv")
         )
+        # Headline summary: diversity + designable fraction.
+        summary = df.attrs["summary"]
+        assert summary["num_samples"] == 4
+        assert 0.0 < summary["diversity"] <= 1.0
+        assert "designable_fraction" in summary
+        assert os.path.exists(os.path.join(out_dir, "summary.json"))
 
     def test_resumability(self, runner):
-        r, _ = runner
+        r, out_dir = runner
         df = r.run_sampling()  # everything exists now
         assert len(df) == 0
+        # Summary is still computed over the restored samples.
+        summary = df.attrs["summary"]
+        assert summary["num_samples"] == 4
+        assert "designable_fraction" in summary
 
 
 class TestExperimentLoop:
@@ -204,6 +243,21 @@ class TestExperimentLoop:
         exp.train(PdbDataset(cfg.data), valid_dataset=None, max_steps=3)
         assert int(exp.state.step) == 3
         assert os.path.exists(exp._metrics_path)
+
+        # In-training eval against the held-out natives reports TM-to-native
+        # (reference `eval_fn`, `train_se3_diffusion.py:459-517`).
+        valid_cfg = dataclasses.replace(
+            cfg.data, num_eval_lengths=1, samples_per_eval_length=1, num_t=3
+        )
+        valid_ds = PdbDataset(valid_cfg, is_training=False)
+        means = exp.run_eval(valid_ds, step=3)
+        assert "eval_tm_score" in means
+        assert 0.0 <= means["eval_tm_score"] <= 1.0
+        eval_csv = os.path.join(
+            cfg.experiment.eval_dir, cfg.experiment.name, "step_3", "metrics.csv"
+        )
+        df = pd.read_csv(eval_csv)
+        assert "tm_score" in df.columns
         exp.ckpt_mgr.close()
 
         # Fresh Experiment resumes from the step-3 checkpoint.
