@@ -1,12 +1,19 @@
-"""Sampler throughput benchmark. Prints ONE JSON line.
+"""Benchmark suite. Prints ONE headline JSON line; writes bench_detail.json.
 
-Metric: backbones/min/chip at length 300, full production model, 500
-reverse steps/sample (the reference inference default,
-`config/inference.yaml:18-24`).
+Headline metric: backbones/min/chip at length 300, full production model,
+500 reverse steps/sample (the reference inference default,
+`config/inference.yaml:18-24`). Baseline (BASELINE.md north star): 100
+length-300 backbones < 1 min on a v5e-8 at parity designability =>
+12.5 backbones/min/chip. vs_baseline is value / 12.5.
 
-Baseline (BASELINE.md north star): 100 length-300 backbones < 1 min on a
-v5e-8 at parity designability => 12.5 backbones/min/chip. vs_baseline is
-value / 12.5.
+Detail metrics (BASELINE.md tracked set) in bench_detail.json:
+  - backbones/min/chip at length 100 and 300 + per-sample-step ms
+  - train step fwd+bwd: steps/s + ms at B=8, N=128
+  - IPA module fwd+bwd ms at B=4, N=384
+  - MFU estimate for the train step (XLA cost analysis / v5e bf16 peak)
+
+Env overrides: BENCH_LEN, BENCH_BATCH, BENCH_NUM_T, BENCH_DTYPE,
+BENCH_DETAIL=0 (headline only).
 """
 import json
 import os
@@ -14,22 +21,159 @@ import sys
 import time
 
 NORTH_STAR_PER_CHIP = 12.5  # backbones/min/chip @ len 300
+V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
+
+
+def _sync(x):
+    import numpy as np
+
+    return np.asarray(x)  # block_until_ready doesn't sync through axon
+
+
+def time_sampler(model, params, diffuser, num_res, batch, num_t):
+    import jax
+
+    from se3_diffusion_tpu.sampling import sample_backbones
+
+    def run(key):
+        return sample_backbones(
+            key, model, params, diffuser,
+            num_res=num_res, num_samples=batch, num_t=num_t,
+        )
+
+    _sync(run(jax.random.PRNGKey(0)).atom37)  # compile (excluded)
+    t0 = time.perf_counter()
+    _sync(run(jax.random.PRNGKey(1)).atom37)
+    elapsed = time.perf_counter() - t0
+    return {
+        f"backbones_per_min_len{num_res}": batch / (elapsed / 60.0),
+        f"sampler_step_ms_len{num_res}": elapsed / num_t * 1000.0,
+        f"sampler_elapsed_s_len{num_res}": elapsed,
+    }
+
+
+def time_train_step(cfg, diffuser, batch_size=8, num_res=128, iters=10):
+    """Full fused train step (noise+fwd+bwd+update) steps/s + MFU."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.geometry import quat as ql
+    from se3_diffusion_tpu.geometry.rigid import Rigid
+    from se3_diffusion_tpu.models.score_network import ScoreNetwork
+    from se3_diffusion_tpu.training import create_train_state, make_train_step
+
+    model = ScoreNetwork(cfg.model)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, model, 16)
+    step = make_train_step(model, cfg, mesh=None)
+
+    key = jax.random.PRNGKey(1)
+    quats = ql.quat_normalize(
+        jax.random.normal(key, (batch_size, num_res, 4))
+    )
+    trans = jax.random.normal(key, (batch_size, num_res, 3)) * 10.0
+    batch = {
+        "rigids_0": Rigid(quat=quats, trans=trans).to_tensor_7(),
+        "res_mask": jnp.ones((batch_size, num_res), jnp.float32),
+        "fixed_mask": jnp.zeros((batch_size, num_res), jnp.float32),
+        "seq_idx": jnp.tile(jnp.arange(num_res)[None], (batch_size, 1)),
+        "torsion_angles_sin_cos": jnp.zeros((batch_size, num_res, 7, 2)),
+    }
+    state, aux = step(state, diffuser, batch, jax.random.PRNGKey(2))
+    _sync(aux["loss"])  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, aux = step(state, diffuser, batch, jax.random.PRNGKey(3 + i))
+    _sync(aux["loss"])
+    elapsed = time.perf_counter() - t0
+    out = {
+        "train_steps_per_sec": iters / elapsed,
+        "train_step_ms": elapsed / iters * 1000.0,
+        "train_batch": batch_size,
+        "train_num_res": num_res,
+    }
+    try:  # MFU via XLA cost analysis; unavailable on some AOT paths.
+        # make_train_step returns a jit-wrapped fn; lowering through the
+        # same object hits the in-process executable cache (no recompile).
+        cost = (
+            step.lower(state, diffuser, batch, jax.random.PRNGKey(3))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = V5E_PEAK_FLOPS.get(cfg.model.activation_dtype, 197e12)
+        if flops > 0:
+            out["train_step_gflops"] = flops / 1e9
+            out["train_mfu"] = flops / (elapsed / iters) / peak
+    except Exception as e:  # noqa: BLE001
+        out["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
+    return out
+
+
+def time_ipa(cfg, batch=4, num_res=384, iters=20):
+    """IPA module fwd+bwd in isolation (the hot kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.geometry import quat as ql
+    from se3_diffusion_tpu.geometry.rigid import Rigid
+    from se3_diffusion_tpu.models.ipa import InvariantPointAttention
+
+    c = cfg.model.ipa
+    dtype = jnp.bfloat16 if cfg.model.activation_dtype == "bfloat16" else None
+    mod = InvariantPointAttention(c, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    s = jax.random.normal(key, (batch, num_res, c.c_s), jnp.float32)
+    z = jax.random.normal(key, (batch, num_res, num_res, c.c_z), jnp.float32)
+    quats = ql.quat_normalize(jax.random.normal(key, (batch, num_res, 4)))
+    trans = jax.random.normal(key, (batch, num_res, 3))
+    r = Rigid(quat=quats, trans=trans)
+    mask = jnp.ones((batch, num_res), jnp.float32)
+    params = mod.init(key, s, z, r, mask)["params"]
+
+    @jax.jit
+    def fwd_bwd(params, s):
+        def loss(p, s_in):
+            return jnp.sum(
+                mod.apply({"params": p}, s_in, z, r, mask).astype(jnp.float32)
+            )
+
+        l, g = jax.value_and_grad(loss, argnums=(0, 1))(params, s)
+        return l, g[1]
+
+    l, _ = fwd_bwd(params, s)
+    _sync(l)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        l, gs = fwd_bwd(params, s)
+        s = s + 0.0 * gs  # chain iterations so XLA can't elide them
+    _sync(l)
+    elapsed = time.perf_counter() - t0
+    return {
+        "ipa_fwd_bwd_ms": elapsed / iters * 1000.0,
+        "ipa_batch": batch,
+        "ipa_num_res": num_res,
+    }
 
 
 def main():
     import jax
 
-    from se3_diffusion_tpu.config import Config, DiffuserConfig, SO3Config
+    from se3_diffusion_tpu.config import (
+        Config,
+        DiffuserConfig,
+        ModelConfig,
+        SO3Config,
+    )
     from se3_diffusion_tpu.diffusion.se3 import SE3Diffuser
     from se3_diffusion_tpu.models.score_network import init_score_network
-    from se3_diffusion_tpu.sampling import sample_backbones
-
-    from se3_diffusion_tpu.config import ModelConfig
 
     num_res = int(os.environ.get("BENCH_LEN", 300))
     batch = int(os.environ.get("BENCH_BATCH", 4))
     num_t = int(os.environ.get("BENCH_NUM_T", 500))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    detail_on = os.environ.get("BENCH_DETAIL", "1") != "0"
 
     cfg = Config(
         diffuser=DiffuserConfig(so3=SO3Config(cache_dir=".cache/igso3")),
@@ -38,27 +182,42 @@ def main():
     diffuser = SE3Diffuser.create(cfg.diffuser)
     model, params = init_score_network(jax.random.PRNGKey(0), cfg.model, 8)
 
-    def run(key):
-        return sample_backbones(
-            key, model, params, diffuser,
-            num_res=num_res, num_samples=batch, num_t=num_t,
-        )
-
-    import numpy as np
-
-    # Compile (excluded from timing). np.asarray forces a device->host
-    # sync; block_until_ready alone does not block through the axon relay.
-    out = run(jax.random.PRNGKey(0))
-    np.asarray(out.atom37)
-
-    t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(1))
-    np.asarray(out.atom37)
-    elapsed = time.perf_counter() - t0
-
-    backbones_per_min = batch / (elapsed / 60.0)
     n_chips = max(1, len(jax.devices()))
-    value = backbones_per_min / n_chips
+    detail = {
+        "dtype": dtype,
+        "num_t": num_t,
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+    }
+
+    headline = time_sampler(model, params, diffuser, num_res, batch, num_t)
+    detail.update(headline)
+
+    if detail_on:
+        for fn, label in (
+            (lambda: time_sampler(model, params, diffuser, 100, batch, num_t),
+             "sampler_len100"),
+            (lambda: time_train_step(cfg, diffuser), "train_step"),
+            (lambda: time_ipa(cfg), "ipa"),
+        ):
+            try:
+                detail.update(fn())
+            except Exception as e:  # noqa: BLE001 — headline must survive
+                detail[f"{label}_error"] = f"{type(e).__name__}: {e}"
+
+    for k in list(detail):
+        if k.startswith("backbones_per_min_len"):
+            detail[k.replace("_len", "_chip_len")] = detail[k] / n_chips
+
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"),
+        "w",
+    ) as f:
+        json.dump({k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in sorted(detail.items())}, f, indent=1)
+
+    value = detail[f"backbones_per_min_len{num_res}"] / n_chips
     print(
         json.dumps(
             {
