@@ -141,6 +141,36 @@ class Experiment:
 
     # -- training ----------------------------------------------------------------
 
+    def _prefetch(self, it: Iterator[Dict], depth: int) -> Iterator[Dict]:
+        """Host-side pipelining: batch assembly (numpy collate + pad)
+        overlaps the device step via a daemon thread. The reference gets
+        this from DataLoader workers (`data/utils.py:420-434`); here one
+        thread suffices since noising happens on device."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     def train(
         self,
         dataset: PdbDataset,
@@ -152,7 +182,11 @@ class Experiment:
         log_time = time.time()
         log_steps = 0
         for epoch in range(self.epoch, exp.num_epoch):
-            for batch in self.train_batches(dataset, epoch):
+            batches = self._prefetch(
+                self.train_batches(dataset, epoch),
+                depth=min(exp.prefetch_factor, 8),
+            )
+            for batch in batches:
                 key, sub = jax.random.split(key)
                 self.state, aux = self._step_fn(self.state, self.diffuser, batch, sub)
                 step = int(self.state.step)

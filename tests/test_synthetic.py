@@ -1,0 +1,94 @@
+"""Synthetic curriculum generator tests."""
+import numpy as np
+import pytest
+
+from se3_diffusion_tpu.data import synthetic as syn
+
+
+class TestBackboneBuilder:
+    def test_ideal_geometry(self):
+        phis = np.full(20, -57.0)
+        psis = np.full(20, -47.0)
+        atom37, mask = syn.build_backbone_from_dihedrals(phis, psis)
+        ca = atom37[:, 1]
+        bonds = np.linalg.norm(ca[1:] - ca[:-1], axis=-1)
+        assert np.abs(bonds - 3.8).max() < 0.1  # trans CA-CA virtual bond
+        np.testing.assert_array_equal(mask[:, [0, 1, 2, 4]], 1.0)
+
+    def test_matches_uniform_builder(self):
+        from tests.helpers import build_backbone
+
+        want, _ = build_backbone(12, phi=-120.0, psi=120.0)
+        got, _ = syn.build_backbone_from_dihedrals(
+            np.full(12, -120.0), np.full(12, 120.0)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestCompaction:
+    def test_compaction_reduces_rg(self):
+        rng = np.random.RandomState(0)
+        # Fully extended strand: maximal Rg, all residues movable.
+        atom37, mask = syn.build_backbone_from_dihedrals(
+            np.full(48, -120.0), np.full(48, 120.0)
+        )
+        rg0 = syn.radius_of_gyration(atom37[:, 1])
+        out = syn.compact_backbone(
+            atom37, mask, rng, target_rg=1.0, steps=150
+        )[-1]
+        rg1 = syn.radius_of_gyration(out[:, 1])
+        assert rg1 < 0.7 * rg0
+        # Bond geometry preserved by pivot moves.
+        ca = out[:, 1]
+        bonds = np.linalg.norm(ca[1:] - ca[:-1], axis=-1)
+        assert np.abs(bonds - 3.8).max() < 0.15
+
+    def test_sample_structure_clash_free(self):
+        rng = np.random.RandomState(1)
+        atom37, mask = syn.sample_structure(rng, 40, compact_steps=100)
+        assert syn.min_nonlocal_ca_dist(atom37[:, 1]) > 2.5
+        assert atom37.shape == (40, 37, 3)
+
+    def test_snapshots_monotone_compactness(self):
+        rng = np.random.RandomState(2)
+        snaps, mask = syn.sample_structure(
+            rng, 40, compact_steps=120, num_snapshots=3
+        )
+        assert len(snaps) == 3
+        rgs = [syn.radius_of_gyration(s[:, 1]) for s in snaps]
+        assert rgs[-1] <= rgs[0] + 1e-6
+
+
+class TestGenerateDataset:
+    def test_feeds_pdb_dataset(self, tmp_path):
+        import pandas as pd
+
+        from se3_diffusion_tpu.config import DataConfig
+        from se3_diffusion_tpu.data.dataset import PdbDataset
+
+        csv = syn.generate_dataset(
+            str(tmp_path),
+            syn.CurriculumConfig(
+                num_topologies=2, snapshots_per_topology=2,
+                min_len=24, max_len=40,
+            ),
+            log_every=0,
+        )
+        df = pd.read_csv(csv)
+        assert len(df) == 4
+        assert set(
+            ["pdb_name", "processed_path", "modeled_seq_len",
+             "helix_percent", "radius_gyration"]
+        ) <= set(df.columns)
+        ds = PdbDataset(
+            DataConfig(csv_path=csv, cluster_path="", min_len=10,
+                       max_loop_percent=1.1, rog_quantile=0.0),
+            is_training=True,
+        )
+        batch = ds.make_batch([0, 1], 500_000)
+        assert batch["rigids_0"].shape[0] == 2
+        assert np.isfinite(batch["rigids_0"]).all()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
