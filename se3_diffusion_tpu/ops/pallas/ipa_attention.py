@@ -22,14 +22,24 @@ Structure (Mosaic constraints shaped all of this):
   TI-batched matvec per head.
 * Logits/softmax accumulate in float32 regardless of input dtype.
 
-Measured on v5e-1 (B=4, N=384, production dims, full IPA module):
-fp32: 6.4 ms vs 9.5 ms XLA (1.5x faster — the HBM win on the
-[B,H,N,N] fp32 intermediates). bf16: 5.6 ms vs 4.0 ms XLA — XLA's
-half-width fused intermediates plus BxH-batched matmuls win, so the
-production default stays `attention_impl='xla'` and this kernel is the
-fp32 / long-sequence option, selected with
-`ipa_conf.attention_impl == 'pallas'` and checked against the XLA path
-in tests (CPU interpret mode).
+Measured history on v5e-1 (B=4, N=384, production dims):
+
+* round 1 (per-batch python loop over pallas_calls): module fwd
+  fp32 6.4 ms vs 9.5 ms XLA; bf16 5.6 ms vs 4.0 ms XLA.
+* round 2 (this version: one (B, I, J) grid, bias in storage dtype):
+  module fwd bf16 4.4 ms, fp32 5.9 ms. BUT the surrounding toolchain
+  (libtpu cl/854318611) also moved: standalone XLA now measures
+  bf16 ~70 ms / fp32 5.3 ms, while END-TO-END (full sampler, len 300,
+  num_t 100, bf16) XLA does 13.9 ms/step vs 17.1 ms/step with this
+  kernel — inside the full graph XLA fuses the attention with its
+  neighbors and wins; the standalone-module gap is a measurement
+  artifact of isolated-call layouts.
+
+Verdict (round 2, `scripts/bench_sampler_impls.py`): `attention_impl`
+defaults to 'xla' in all dtypes; this kernel stays as the alternative
+implementation (re-evaluate on toolchain bumps — the r1->r2 swing shows
+these numbers are build-sensitive), bit-checked against the XLA path in
+tests (CPU interpret mode).
 """
 from __future__ import annotations
 
@@ -200,20 +210,27 @@ def fused_ipa_attention(
     kfa = jnp.concatenate(
         [kf, jnp.sum(kf * kf, -1, keepdims=True), ones], axis=-1
     )
-    bias_hm = jnp.moveaxis(pair_bias, 3, 1) * math.sqrt(1.0 / 3)  # [B,H,N,N]
+    # Bias travels in the storage dtype (bf16 in production — halves its
+    # HBM traffic); the kernel upcasts to f32 before the logit add, same
+    # as the XLA path upcasts the bf16 linear_b output.
+    bias_hm = (jnp.moveaxis(pair_bias, 3, 1) * math.sqrt(1.0 / 3)).astype(
+        q.dtype
+    )  # [B, H, N, N]
     maskb = ((mask - 1.0) * 1e5).astype(jnp.float32)[:, None, :]  # [B,1,N]
     pa = p * 3 + 2  # augmented point feature width
 
     kernel = functools.partial(_kernel, num_heads=h, scale_qk=scale_qk)
-    # One pallas_call per batch element: the AOT pipeline stages each
-    # call's full outputs through scoped VMEM (16MB), so per-call output
-    # size must stay small; B is <= a few at these sequence lengths.
-    grid = (1, n // tile_q, n // tile_n)
+    # One call, batch on the outer grid axis: the per-batch python loop of
+    # the first version serialized B kernel launches (and their operand
+    # staging); a (B, I, J) grid pipelines them. Scratch state is per
+    # (batch, i) tile and re-initialized at j==0, so the carry semantics
+    # are unchanged.
+    grid = (b, n // tile_q, n // tile_n)
     out_dt = q.dtype
     out_shapes = (
-        jax.ShapeDtypeStruct((1, h, n, c), out_dt),
-        jax.ShapeDtypeStruct((1, h, n, pv * 3), jnp.float32),
-        jax.ShapeDtypeStruct((1, h, n, cz), out_dt),
+        jax.ShapeDtypeStruct((b, h, n, c), out_dt),
+        jax.ShapeDtypeStruct((b, h, n, pv * 3), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, n, cz), out_dt),
     )
     scratch_shapes = [
         pltpu.VMEM((h, tile_q, 1), jnp.float32),
@@ -254,18 +271,9 @@ def fused_ipa_attention(
         interpret=interpret,
     )
 
-    outs = [
-        call(
-            qs[bi : bi + 1], ks_[bi : bi + 1], vs[bi : bi + 1],
-            qfa[bi : bi + 1], kfa[bi : bi + 1], vp[bi : bi + 1],
-            bias_hm[bi : bi + 1], pair_z[bi : bi + 1],
-            maskb[bi : bi + 1],
-        )
-        for bi in range(b)
-    ]
-    o_hm = jnp.concatenate([x[0] for x in outs], axis=0)
-    opt_hm = jnp.concatenate([x[1] for x in outs], axis=0)
-    opair = jnp.concatenate([x[2] for x in outs], axis=0)
+    o_hm, opt_hm, opair = call(
+        qs, ks_, vs, qfa, kfa, vp, bias_hm, pair_z, maskb
+    )
 
     o = jnp.moveaxis(o_hm, 1, 2).reshape(b, n, h * c)
     opt = jnp.moveaxis(opt_hm, 1, 2).reshape(b, n, h, pv, 3)

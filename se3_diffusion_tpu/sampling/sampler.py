@@ -63,6 +63,7 @@ def _base_feats(
         "model",
         "num_t",
         "self_condition",
+        "prime_self_conditioning",
         "center",
         "aux_traj",
         "probability_flow",
@@ -82,6 +83,7 @@ def sample_fn(
     min_t: float = 0.01,
     noise_scale: float = 0.1,
     self_condition: bool = True,
+    prime_self_conditioning: bool = True,
     center: bool = True,
     aux_traj: bool = False,
     probability_flow: bool = False,
@@ -97,6 +99,13 @@ def sample_fn(
         num_t: number of reverse steps (reference inference default 500).
         min_t: final time (reverse integrates 1 -> min_t).
         noise_scale: sampling temperature on the Brownian term.
+        prime_self_conditioning: DOCUMENTED DEVIATION from the reference:
+            when True (default), an extra t=1 forward primes `sc_ca_t`
+            before the first reverse step; the reference starts from
+            zeros (`train_se3_diffusion.py:744-747`). Priming matches
+            what the model saw in training (sc features populated) at
+            the cost of one extra forward; set False for
+            trajectory-level parity with the reference.
         aux_traj: also return stacked trajectories (costs T x state HBM).
 
     Returns:
@@ -120,7 +129,7 @@ def sample_fn(
         return score_network_forward(model, params, feats, diffuser)
 
     sc_init = jnp.zeros(init_rigids.shape[:-1] + (3,), init_rigids.dtype)
-    if self_condition:
+    if self_condition and prime_self_conditioning:
         out0 = forward(init_rigids, reverse_steps[0], sc_init)
         sc_init = out0["rigids"][..., 4:]
 

@@ -173,3 +173,42 @@ class TestProbabilityFlow:
         assert np.abs(
             np.asarray(outs[0].atom37) - np.asarray(outs[1].atom37)
         ).max() > 1e-4
+
+
+class TestSelfConditioningPriming:
+    def test_unprimed_matches_reference_contract(self, setup):
+        """prime_self_conditioning=False starts sc_ca_t from zeros (the
+        reference's inference_fn behavior); priming is the documented
+        framework deviation and must actually change the trajectory."""
+        from se3_diffusion_tpu.sampling.sampler import sample_fn
+
+        diffuser, model, params = setup
+        # Zero-init "final" layers make the untrained net the identity
+        # denoiser (insensitive to sc features); jitter params to get a
+        # non-degenerate model.
+        keys = iter(
+            jax.random.split(
+                jax.random.PRNGKey(9),
+                len(jax.tree_util.tree_leaves(params)),
+            )
+        )
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jax.random.normal(next(keys), p.shape, p.dtype),
+            params,
+        )
+        key = jax.random.PRNGKey(3)
+        ref = diffuser.sample_ref(key, 2 * 12)["rigids_t"]
+        init = ref.to_tensor_7().reshape(2, 12, 7)
+        masks = jnp.ones((2, 12), jnp.float32)
+        kw = dict(model=model, num_t=4, aux_traj=False)
+        primed = sample_fn(
+            params, diffuser, key, init, masks, jnp.zeros_like(masks),
+            prime_self_conditioning=True, **kw,
+        )
+        unprimed = sample_fn(
+            params, diffuser, key, init, masks, jnp.zeros_like(masks),
+            prime_self_conditioning=False, **kw,
+        )
+        a, b = np.asarray(primed.rigids), np.asarray(unprimed.rigids)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-6
