@@ -180,6 +180,21 @@ class InferenceSamplesConfig:
 
 
 @dataclass(frozen=True)
+class FoldingConfig:
+    """Self-consistency folding backend (reference loads fair-esm ESMFold,
+    `inference_se3_diffusion.py:125-126`).
+
+    backend: 'auto' tries torch fair-esm, then JAX ESMFold from
+    `esmfold_weights_path`, then disables folding; 'jax' / 'torch' force
+    one; 'none' disables."""
+
+    backend: str = "auto"
+    esmfold_weights_path: str = "./weights/esmfold_3B_v1.pt"
+    num_recycles: Optional[int] = None
+    device: str = "cpu"  # torch backend placement
+
+
+@dataclass(frozen=True)
 class InferenceConfig:
     name: Optional[str] = None
     seed: int = 123
@@ -189,6 +204,7 @@ class InferenceConfig:
         default_factory=InferenceDiffusionConfig
     )
     samples: InferenceSamplesConfig = field(default_factory=InferenceSamplesConfig)
+    folding: FoldingConfig = field(default_factory=FoldingConfig)
 
 
 @dataclass(frozen=True)

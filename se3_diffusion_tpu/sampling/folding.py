@@ -100,3 +100,57 @@ def make_torch_esmfold_folder(
         return np.asarray(prot.atom_positions, np.float32)
 
     return folder
+
+
+def make_folder_from_config(folding_cfg) -> Optional[Callable[[str], np.ndarray]]:
+    """Builds a Folder from `config.FoldingConfig`, or None when no
+    backend is available (the pipeline then skips the folding leg).
+
+    'auto' preference order mirrors deployment reality: pip fair-esm if
+    importable (weights bundled with the package), else the JAX ESMFold
+    with converted weights from `esmfold_weights_path`.
+    """
+    import os
+
+    backend = folding_cfg.backend
+    if backend == "none":
+        return None
+
+    def _torch():
+        return make_torch_esmfold_folder(
+            device=folding_cfg.device, num_recycles=folding_cfg.num_recycles
+        )
+
+    def _jax():
+        from se3_diffusion_tpu.interop.esmfold_convert import (
+            load_esmfold_checkpoint,
+        )
+        from se3_diffusion_tpu.models.esmfold import ESMFold, esmfold_v1_config
+
+        cfg = esmfold_v1_config()
+        params, report = load_esmfold_checkpoint(
+            folding_cfg.esmfold_weights_path, cfg
+        )
+        if report["missing"]:
+            raise ValueError(
+                f"incomplete ESMFold checkpoint: {len(report['missing'])} "
+                f"parameters missing (first: {report['missing'][:3]})"
+            )
+        model = ESMFold(cfg)
+        return make_jax_esmfold_folder(
+            model, params, num_recycles=folding_cfg.num_recycles
+        )
+
+    if backend == "torch":
+        return _torch()
+    if backend == "jax":
+        return _jax()
+    if backend != "auto":
+        raise ValueError(f"Unknown folding backend {backend!r}")
+    try:
+        return _torch()
+    except ImportError:
+        pass
+    if os.path.exists(folding_cfg.esmfold_weights_path):
+        return _jax()
+    return None

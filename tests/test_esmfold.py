@@ -325,3 +325,46 @@ class TestEndToEndSelfConsistency:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestFolderFactory:
+    def test_none_backend(self):
+        from se3_diffusion_tpu.config import FoldingConfig
+        from se3_diffusion_tpu.sampling.folding import make_folder_from_config
+
+        assert make_folder_from_config(FoldingConfig(backend="none")) is None
+
+    def test_auto_without_esm_or_weights(self, tmp_path):
+        from se3_diffusion_tpu.config import FoldingConfig
+        from se3_diffusion_tpu.sampling.folding import make_folder_from_config
+
+        cfg = FoldingConfig(
+            backend="auto",
+            esmfold_weights_path=str(tmp_path / "nope.pt"),
+        )
+        assert make_folder_from_config(cfg) is None
+
+    def test_unknown_backend_raises(self):
+        from se3_diffusion_tpu.config import FoldingConfig
+        from se3_diffusion_tpu.sampling.folding import make_folder_from_config
+
+        with pytest.raises(ValueError, match="Unknown folding backend"):
+            make_folder_from_config(FoldingConfig(backend="gpu"))
+
+    def test_torch_checkpoint_loader(self, tiny, tmp_path):
+        """load_esmfold_checkpoint reads a fair-esm-layout .pt file."""
+        import torch
+
+        from se3_diffusion_tpu.interop import esmfold_convert as cv
+
+        cfg, model, _ = tiny
+        sd = cv.synthetic_state_dict(cfg)
+        path = tmp_path / "esmfold_tiny.pt"
+        torch.save({"model": {k: torch.tensor(v) for k, v in sd.items()}}, path)
+        params, report = cv.load_esmfold_checkpoint(str(path), cfg)
+        assert report["missing"] == [] and report["unused"] == []
+        aatype = jnp.zeros((1, 8), jnp.int32)
+        out = model.apply(
+            {"params": params}, aatype, jnp.ones((1, 8)), num_recycles=0
+        )
+        assert np.isfinite(np.asarray(out["atom37"])).all()
