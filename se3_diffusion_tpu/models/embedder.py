@@ -141,10 +141,12 @@ class Embedder(nn.Module):
             dtype=self.dtype,
             name="node_embedder",
         )(jnp.concatenate(node_feats, axis=-1))
+        from se3_diffusion_tpu.parallel.sp import annotate_pair
+
         edge_embed = MLP(
             (c_edge, c_edge, c_edge),
             final_layer_norm=True,
             dtype=self.dtype,
             name="edge_embedder",
-        )(jnp.concatenate(pair_feats, axis=-1))
-        return node_embed, edge_embed
+        )(annotate_pair(jnp.concatenate(pair_feats, axis=-1)))
+        return node_embed, annotate_pair(edge_embed)

@@ -149,9 +149,16 @@ class InvariantPointAttention(nn.Module):
         k_pts, v_pts = kv_pts[..., :pq, :], kv_pts[..., pq:, :]
 
         # --- attention logits (accumulated in float32) ---------------------
-        # Scalar term: [B, H, N, N].
-        a = jnp.einsum(
-            "bihc,bjhc->bhij", q, k, preferred_element_type=jnp.float32
+        # Scalar term: [B, H, N, N]. Under sequence-parallel sharding the
+        # query (row) axis is on 'sp'; softmax/aggregations reduce over
+        # the key axis, which stays local — no collective in the loop.
+        from se3_diffusion_tpu.parallel.sp import annotate_pair
+
+        a = annotate_pair(
+            jnp.einsum(
+                "bihc,bjhc->bhij", q, k, preferred_element_type=jnp.float32
+            ),
+            row_axis=2,
         ) * math.sqrt(1.0 / (3 * ch))
         # Pair bias.
         pair_bias = Linear(h, dtype=dt, name="linear_b")(z)  # [B, N, N, H]
@@ -286,7 +293,11 @@ class EdgeTransition(nn.Module):
         x = Linear(
             self.edge_embed_out, init="final", dtype=dt, name="final_layer"
         )(x + skip)
-        return nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=dt, name="ln")(x)
+        from se3_diffusion_tpu.parallel.sp import annotate_pair
+
+        return annotate_pair(
+            nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=dt, name="ln")(x)
+        )
 
 
 class BackboneUpdate(nn.Module):
