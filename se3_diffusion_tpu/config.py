@@ -154,6 +154,13 @@ class ExperimentConfig:
     # but never uses EMA). None disables; eval/sampling prefer the EMA
     # weights when enabled.
     ema_decay: Optional[float] = None
+    # Optional global-norm gradient clipping (framework addition; the
+    # reference runs bare Adam). None disables. Useful because the
+    # separate_rot_loss axis term has a ~1/(|pred|+1e-6) Jacobian at
+    # init (pred rot score starts at 0 under zero-init update heads),
+    # producing O(1e8) first-step gradient norms that Adam absorbs but
+    # clipping keeps out of the optimizer's second-moment state.
+    grad_clip: Optional[float] = None
 
 
 @dataclass(frozen=True)

@@ -59,7 +59,11 @@ class Experiment:
             create_mesh() if use_mesh and len(jax.devices()) > 1 else None
         )
         self._step_fn = make_train_step(
-            self.model, cfg, mesh=self.mesh, ema_decay=cfg.experiment.ema_decay
+            self.model,
+            cfg,
+            mesh=self.mesh,
+            ema_decay=cfg.experiment.ema_decay,
+            donate=True,  # the loop always replaces its state
         )
 
         key = jax.random.PRNGKey(cfg.inference.seed)
@@ -179,8 +183,30 @@ class Experiment:
     ) -> TrainState:
         exp = self.cfg.experiment
         key = jax.random.PRNGKey(int(self.state.step) + 1)
+        # Step counting stays on host: int(state.step)/float(loss) per step
+        # would force a device round trip per step, which through the axon
+        # relay serializes the pipeline. Metrics are drained in bulk at log
+        # boundaries; the NaN tripwire therefore fires up to log_freq steps
+        # late, which still aborts the run (reference checks per step,
+        # `train_se3_diffusion.py:448-454`).
+        host_step = int(self.state.step)
         log_time = time.time()
         log_steps = 0
+        pending: list = []  # (step, aux-of-device-scalars)
+
+        def drain() -> None:
+            nonlocal pending
+            if not pending:
+                return
+            vals = jax.device_get([aux for _, aux in pending])
+            for (step, _), aux in zip(pending, vals):
+                rec = {k: float(v) for k, v in aux.items()}
+                if not np.isfinite(rec["loss"]):
+                    self._log({"step": step, "event": "nan_loss"})
+                    raise NanLossError(f"Non-finite loss at step {step}")
+                self._recent.append(rec)
+            pending = []
+
         for epoch in range(self.epoch, exp.num_epoch):
             batches = self._prefetch(
                 self.train_batches(dataset, epoch),
@@ -189,15 +215,13 @@ class Experiment:
             for batch in batches:
                 key, sub = jax.random.split(key)
                 self.state, aux = self._step_fn(self.state, self.diffuser, batch, sub)
-                step = int(self.state.step)
+                host_step += 1
+                step = host_step
                 log_steps += 1
-                loss = float(aux["loss"])
-                if not np.isfinite(loss):
-                    self._log({"step": step, "event": "nan_loss"})
-                    raise NanLossError(f"Non-finite loss at step {step}")
-                self._recent.append({k: float(v) for k, v in aux.items()})
+                pending.append((step, aux))
 
                 if step % exp.log_freq == 0 or step == 1:
+                    drain()
                     elapsed = time.time() - log_time
                     rec = {
                         "step": step,
@@ -217,14 +241,18 @@ class Experiment:
 
                 early = exp.early_ckpt and step == 100
                 if step % exp.ckpt_freq == 0 or early:
+                    drain()
                     self.ckpt_mgr.save(self.state, epoch, self.cfg)
                     if valid_dataset is not None:
                         self.run_eval(valid_dataset, step)
+                    log_time, log_steps = time.time(), 0
 
                 if max_steps is not None and step >= max_steps:
+                    drain()
                     self.ckpt_mgr.save(self.state, epoch, self.cfg)
                     return self.state
             self.epoch = epoch
+        drain()
         return self.state
 
     # -- eval -----------------------------------------------------------------

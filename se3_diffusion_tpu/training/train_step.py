@@ -43,8 +43,13 @@ class TrainState(NamedTuple):
 
 
 def create_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """Adam with the reference hyperparameters (`base.yaml:82`)."""
-    return optax.adam(learning_rate=cfg.experiment.learning_rate)
+    """Adam with the reference hyperparameters (`base.yaml:82`), with
+    optional global-norm clipping in front (cfg.experiment.grad_clip)."""
+    adam = optax.adam(learning_rate=cfg.experiment.learning_rate)
+    clip = getattr(cfg.experiment, "grad_clip", None)
+    if clip:
+        return optax.chain(optax.clip_by_global_norm(clip), adam)
+    return adam
 
 
 def create_train_state(
@@ -141,6 +146,7 @@ def make_train_step(
     cfg: Config,
     mesh: Mesh | None = None,
     ema_decay: float | None = None,
+    donate: bool = False,
 ):
     """Builds the jitted (optionally dp-sharded) train step.
 
@@ -149,6 +155,9 @@ def make_train_step(
     optimizer state are replicated, and gradients/metrics are pmean'd over
     ICI inside shard_map — the NCCL-allreduce equivalent. With ema_decay,
     state.ema_params tracks an exponential moving average of params.
+    With donate=True the input state's buffers are donated so XLA updates
+    params/opt/EMA in place (one fewer HBM copy per step); the caller must
+    then never reuse a state it has already stepped.
     """
     opt = create_optimizer(cfg)
 
@@ -172,8 +181,9 @@ def make_train_step(
         aux["grad_norm"] = optax.global_norm(grads)
         return new_state, aux
 
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        return jax.jit(_step_local)
+        return jax.jit(_step_local, **donate_kw)
 
     sharded = jax.shard_map(
         lambda state, diffuser, batch, key: _step_local(
@@ -187,4 +197,4 @@ def make_train_step(
         in_specs=(P(), P(), P(DP_AXIS), P()),
         out_specs=(P(), P()),
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, **donate_kw)
