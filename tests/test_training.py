@@ -190,3 +190,47 @@ class TestEma:
         b = jax.tree_util.tree_leaves(restored.ema_params)
         assert all(np.allclose(x, y) for x, y in zip(a, b))
         mgr.close()
+
+
+class TestGradClipAndDonate:
+    def test_grad_clip_bounds_update(self, setup):
+        """grad_clip chains a global-norm clip ahead of Adam; the logged
+        grad_norm stays the raw (pre-clip) norm."""
+        import dataclasses
+
+        diffuser, model, _ = setup
+        cfg = dataclasses.replace(
+            SMALL_CFG,
+            experiment=dataclasses.replace(SMALL_CFG.experiment, grad_clip=1e-3),
+        )
+        state = create_train_state(jax.random.PRNGKey(0), cfg, model, 12)
+        p0 = jax.tree_util.tree_map(np.asarray, state.params)
+        step = make_train_step(model, cfg, mesh=None)
+        batch = synthetic_batch(jax.random.PRNGKey(1), 2, 12)
+        state, aux = step(state, diffuser, batch, jax.random.PRNGKey(2))
+        # Raw grad norm is far above the clip threshold...
+        assert float(aux["grad_norm"]) > 1.0
+        # ...and one Adam step on clipped grads moves params by <= ~lr each.
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(b) - a).max()), p0, state.params
+        )
+        assert max(jax.tree_util.tree_leaves(deltas)) < 5e-3
+
+    def test_donated_step_matches_undonated(self, setup):
+        diffuser, model, _ = setup
+        batch = synthetic_batch(jax.random.PRNGKey(1), 2, 12)
+        key = jax.random.PRNGKey(2)
+        s1 = create_train_state(jax.random.PRNGKey(0), SMALL_CFG, model, 12)
+        s2 = create_train_state(jax.random.PRNGKey(0), SMALL_CFG, model, 12)
+        plain = make_train_step(model, SMALL_CFG, mesh=None)
+        donating = make_train_step(model, SMALL_CFG, mesh=None, donate=True)
+        s1, a1 = plain(s1, diffuser, batch, key)
+        s2, a2 = donating(s2, diffuser, batch, key)
+        np.testing.assert_allclose(
+            float(a1["loss"]), float(a2["loss"]), rtol=1e-6
+        )
+        for x, y in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
