@@ -244,7 +244,13 @@ class Experiment:
                     drain()
                     self.ckpt_mgr.save(self.state, epoch, self.cfg)
                     if valid_dataset is not None:
-                        self.run_eval(valid_dataset, step)
+                        try:
+                            self.run_eval(valid_dataset, step)
+                        except Exception:  # noqa: BLE001 — eval must not
+                            # kill a multi-hour training run; the NaN
+                            # tripwire above still aborts on bad training.
+                            logger.exception("run_eval failed at step %d", step)
+                            self._log({"step": step, "event": "eval_error"})
                     log_time, log_steps = time.time(), 0
 
                 if max_steps is not None and step >= max_steps:
