@@ -34,6 +34,8 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--warm_start", default=None)
     p.add_argument("--no_eval", action="store_true")
+    p.add_argument("--log_freq", type=int, default=None)
+    p.add_argument("--ckpt_freq", type=int, default=None)
     args = p.parse_args()
 
     if args.preset:
@@ -57,6 +59,10 @@ def main():
         exp_over["name"] = args.name
     if args.warm_start:
         exp_over["warm_start"] = args.warm_start
+    if args.log_freq is not None:
+        exp_over["log_freq"] = args.log_freq
+    if args.ckpt_freq is not None:
+        exp_over["ckpt_freq"] = args.ckpt_freq
     if exp_over:
         cfg = dataclasses.replace(
             cfg, experiment=dataclasses.replace(cfg.experiment, **exp_over)
