@@ -136,9 +136,10 @@ class PdbDataset:
         Keeps only residues with full backbone; renumbers seq_idx from 0
         (the reference renumbers per chain, `pdb_data_loader.py:156-172`).
         """
-        import jax.numpy as jnp
-
-        from se3_diffusion_tpu.proteins import transforms
+        # Pure numpy (proteins/transforms_np.py): the host data path must
+        # never dispatch to the accelerator backend — per-example jnp ops
+        # through the TPU relay cost minutes per batch (round-2 lesson).
+        from se3_diffusion_tpu.proteins import transforms_np
 
         atom37 = np.asarray(raw["atom_positions"], np.float32)
         mask37 = np.asarray(raw["atom_mask"], np.float32)
@@ -149,20 +150,16 @@ class PdbDataset:
             raise ValueError("Chain has no fully-modeled backbone residues")
         lo, hi = modeled.min(), modeled.max() + 1
         atom37, mask37 = atom37[lo:hi], mask37[lo:hi]
-        feats = transforms.chain_features_from_atom37(
-            jnp.asarray(atom37), jnp.asarray(mask37)
-        )
+        feats = transforms_np.chain_features_from_atom37_np(atom37, mask37)
         n = atom37.shape[0]
         return {
-            "rigids_0": np.asarray(feats["rigids_0"], np.float32),
-            "res_mask": np.asarray(feats["res_mask"], np.float32),
-            "torsion_angles_sin_cos": np.asarray(
-                feats["torsion_angles_sin_cos"], np.float32
-            ),
+            "rigids_0": feats["rigids_0"],
+            "res_mask": feats["res_mask"],
+            "torsion_angles_sin_cos": feats["torsion_angles_sin_cos"],
             "fixed_mask": np.zeros(n, np.float32),
             "seq_idx": np.arange(n, dtype=np.int32),
             "aatype": np.asarray(raw["aatype"][lo:hi], np.int32),
-            "atom37": np.asarray(feats["atom37"], np.float32),
+            "atom37": feats["atom37"],
         }
 
     # -- epoch index generation (the TrainSampler modes) ---------------------

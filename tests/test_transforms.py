@@ -79,5 +79,37 @@ class TestRoundTrip:
         assert np.abs(t[..., [0, 1, 3, 4, 5, 6], :]).max() == 0.0
 
 
+class TestNumpyTwin:
+    """proteins/transforms_np must bit-match the jax transforms — it is
+    what the dataset host path actually runs."""
+
+    def test_chain_features_parity(self):
+        from se3_diffusion_tpu.proteins import transforms_np
+
+        frames = random_frames(jax.random.PRNGKey(7), (2, 24))
+        psi = jnp.tile(jnp.asarray([0.6, 0.8]), (2, 24, 1))
+        atom37, mask, _ = backbone.compute_backbone(frames, psi)
+        atom37 = np.asarray(atom37) + 3.0
+        mask = np.asarray(mask)
+        a = transforms.chain_features_from_atom37(
+            jnp.asarray(atom37), jnp.asarray(mask)
+        )
+        b = transforms_np.chain_features_from_atom37_np(atom37, mask)
+        for k in ("atom37", "rigids_0", "res_mask",
+                  "torsion_angles_sin_cos", "torsion_angles_mask"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), b[k], atol=1e-5, err_msg=k
+            )
+
+    def test_degenerate_points_no_nan(self):
+        from se3_diffusion_tpu.proteins import transforms_np
+
+        atom37 = np.zeros((4, 37, 3), np.float32)  # all atoms coincide
+        mask = np.ones((4, 37), np.float32)
+        out = transforms_np.chain_features_from_atom37_np(atom37, mask)
+        for k, v in out.items():
+            assert np.all(np.isfinite(v)), k
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
