@@ -59,6 +59,37 @@ class TestCompaction:
         assert rgs[-1] <= rgs[0] + 1e-6
 
 
+class TestSheetBlocks:
+    def test_hairpin_block_registers_as_strand(self):
+        from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
+
+        rng = np.random.RandomState(3)
+        phis, psis, chars = syn.sample_sheet_dihedrals(rng, 14)  # 2x6 + turn
+        assert len(phis) == len(psis) == len(chars) == 14
+        assert chars.count("T") == 2 and chars.count("E") == 12
+        a37, mask = syn.build_backbone_from_dihedrals(phis, psis)
+        # Paired antiparallel strands: clash-free and DSSP-detected.
+        assert syn.min_nonlocal_ca_dist(a37[:, 1]) > 3.0
+        assert ss_lib.ss_percentages(a37, mask)["strand_percent"] > 0.3
+
+    def test_turns_are_fixed_during_compaction(self):
+        # 'T' chars (sheet turns) must not be movable, or compaction would
+        # pivot inside the hairpin and break the strand pairing.
+        ss_arr = np.frombuffer(b"EEETTEEELL", dtype="S1")
+        fixed = ss_arr != b"L"
+        assert fixed[:8].all() and not fixed[8:].any()
+
+    def test_curriculum_contains_strand_content(self):
+        from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
+
+        fracs = []
+        for seed in range(4):
+            rng = np.random.RandomState(200 + seed)
+            a37, mask = syn.sample_structure(rng, 90, compact_steps=150)
+            fracs.append(ss_lib.ss_percentages(a37, mask)["strand_percent"])
+        assert max(fracs) > 0.05  # sheets survive compaction
+
+
 class TestGenerateDataset:
     def test_feeds_pdb_dataset(self, tmp_path):
         import pandas as pd
