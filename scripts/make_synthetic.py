@@ -1,0 +1,47 @@
+"""Generate a synthetic training curriculum (see data/synthetic.py).
+
+Usage:
+    python scripts/make_synthetic.py --out datasets/synthetic_v2 \
+        --num_topologies 500 --snapshots 3 --min_len 60 --max_len 256
+
+Output follows the processed-dataset contract of the reference's
+`data/process_pdb_dataset.py` (.pkl per chain + metadata.csv), so the
+training stack consumes it unchanged.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+from se3_diffusion_tpu.data import synthetic as syn
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_topologies", type=int, default=400)
+    p.add_argument("--snapshots", type=int, default=3)
+    p.add_argument("--min_len", type=int, default=60)
+    p.add_argument("--max_len", type=int, default=256)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--num_processes", type=int, default=1)
+    args = p.parse_args()
+
+    csv = syn.generate_dataset(
+        args.out,
+        syn.CurriculumConfig(
+            num_topologies=args.num_topologies,
+            snapshots_per_topology=args.snapshots,
+            min_len=args.min_len,
+            max_len=args.max_len,
+            seed=args.seed,
+        ),
+        num_processes=args.num_processes,
+    )
+    print(csv)
+
+
+if __name__ == "__main__":
+    main()
