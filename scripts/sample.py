@@ -41,6 +41,10 @@ def main():
     p.add_argument("--noise_scale", type=float, default=None)
     p.add_argument("--probability_flow", action="store_true")
     p.add_argument("--output_dir", default=None)
+    p.add_argument(
+        "--raw_params", action="store_true",
+        help="use raw (non-EMA) params from an orbax checkpoint",
+    )
     args = p.parse_args()
 
     cfg = config_lib.load_yaml(args.config) if args.config else config_lib.Config()
@@ -66,7 +70,9 @@ def main():
     diffuser = SE3Diffuser.create(cfg.diffuser)
     model = ScoreNetwork(cfg.model)
     if args.weights:
-        params = ckpt_lib.warm_start_params(args.weights, cfg.model)
+        params = ckpt_lib.warm_start_params(
+            args.weights, cfg.model, prefer_ema=not args.raw_params
+        )
     else:
         logging.warning("No --weights given; sampling with random init")
         params = model.init(jax.random.PRNGKey(0), dummy_features(1, 8))["params"]

@@ -101,8 +101,13 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def warm_start_params(path: str, model_conf) -> Any:
-    """Loads params from either an orbax dir or a torch .pth checkpoint."""
+def warm_start_params(path: str, model_conf, prefer_ema: bool = False) -> Any:
+    """Loads params from either an orbax dir or a torch .pth checkpoint.
+
+    With prefer_ema=True, returns the checkpoint's EMA parameter average
+    when one was saved (inference wants the EMA weights; training warm
+    starts want the raw ones, matching the reference's `.pth` contract).
+    """
     if path.endswith(".pth") or path.endswith(".pt"):
         from se3_diffusion_tpu.interop.torch_convert import convert_checkpoint
 
@@ -115,4 +120,7 @@ def warm_start_params(path: str, model_conf) -> Any:
     out = mgr.restore(
         step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
     )
-    return out["state"]["params"]
+    state = out["state"]
+    if prefer_ema and state.get("ema_params") is not None:
+        return state["ema_params"]
+    return state["params"]

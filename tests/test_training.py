@@ -190,6 +190,19 @@ class TestEma:
         b = jax.tree_util.tree_leaves(restored.ema_params)
         assert all(np.allclose(x, y) for x, y in zip(a, b))
         mgr.close()
+        # warm_start_params(prefer_ema=True) returns the EMA average,
+        # the default the raw params (inference vs warm-start contract).
+        from se3_diffusion_tpu.training.checkpoints import warm_start_params
+
+        ema_loaded = warm_start_params(
+            str(tmp_path / "ema_ckpt"), None, prefer_ema=True
+        )
+        raw_loaded = warm_start_params(str(tmp_path / "ema_ckpt"), None)
+        got_ema = jax.tree_util.tree_leaves(ema_loaded)
+        got_raw = jax.tree_util.tree_leaves(raw_loaded)
+        want_raw = jax.tree_util.tree_leaves(state.params)
+        assert all(np.allclose(x, y) for x, y in zip(got_ema, a))
+        assert all(np.allclose(x, y) for x, y in zip(got_raw, want_raw))
 
 
 class TestGradClipAndDonate:
