@@ -132,8 +132,11 @@ def time_ipa(cfg, batch=4, num_res=384, iters=20):
     mask = jnp.ones((batch, num_res), jnp.float32)
     params = mod.init(key, s, z, r, mask)["params"]
 
+    # z/r/mask must be jit ARGUMENTS: captured closures become HLO-embedded
+    # constants (z alone is B*N*N*128 fp32 ~ 300 MB), which overflows the
+    # remote AOT compile server's request limit (HTTP 413).
     @jax.jit
-    def fwd_bwd(params, s):
+    def fwd_bwd(params, s, z, r, mask):
         def loss(p, s_in):
             return jnp.sum(
                 mod.apply({"params": p}, s_in, z, r, mask).astype(jnp.float32)
@@ -142,11 +145,11 @@ def time_ipa(cfg, batch=4, num_res=384, iters=20):
         l, g = jax.value_and_grad(loss, argnums=(0, 1))(params, s)
         return l, g[1]
 
-    l, _ = fwd_bwd(params, s)
+    l, _ = fwd_bwd(params, s, z, r, mask)
     _sync(l)
     t0 = time.perf_counter()
     for _ in range(iters):
-        l, gs = fwd_bwd(params, s)
+        l, gs = fwd_bwd(params, s, z, r, mask)
         s = s + 0.0 * gs  # chain iterations so XLA can't elide them
     _sync(l)
     elapsed = time.perf_counter() - t0
