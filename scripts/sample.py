@@ -77,8 +77,25 @@ def main():
         logging.warning("No --weights given; sampling with random init")
         params = model.init(jax.random.PRNGKey(0), dummy_features(1, 8))["params"]
 
+    # Wire the self-consistency legs when backends/weights are available
+    # (reference always runs design+fold, `inference_se3_diffusion.py:295`);
+    # with neither, the sweep still reports backbone metrics + diversity.
+    from se3_diffusion_tpu.sampling.design import make_designer_from_config
+    from se3_diffusion_tpu.sampling.folding import make_folder_from_config
+
+    designer = make_designer_from_config(cfg.inference.design)
+    folder = make_folder_from_config(cfg.inference.folding)
+    if designer is None or folder is None:
+        logging.warning(
+            "Self-consistency disabled (designer=%s, folder=%s): "
+            "missing weights or backend — see inference.design / "
+            "inference.folding config",
+            "on" if designer else "off", "on" if folder else "off",
+        )
+
     runner = InferenceRunner(
-        cfg=cfg, model=model, params=params, diffuser=diffuser
+        cfg=cfg, model=model, params=params, diffuser=diffuser,
+        sequence_designer=designer, folder=folder,
     )
     df = runner.run_sampling()
     print(df.to_string() if len(df) else "nothing to do (all dirs exist)")

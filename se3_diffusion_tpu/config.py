@@ -187,6 +187,21 @@ class InferenceSamplesConfig:
 
 
 @dataclass(frozen=True)
+class DesignConfig:
+    """Sequence-design leg of self-consistency (the reference subprocesses
+    vendored ProteinMPNN, `inference_se3_diffusion.py:315-356`; here the
+    in-repo JAX ProteinMPNN runs in-process).
+
+    backend: 'auto' uses the JAX ProteinMPNN when `mpnn_weights_path`
+    exists, else disables the leg; 'jax' forces it (missing weights
+    raise); 'none' disables."""
+
+    backend: str = "auto"
+    mpnn_weights_path: str = "./weights/proteinmpnn_v_48_020.pt"
+    temperature: float = 0.1  # reference sampling temp (`:335`)
+
+
+@dataclass(frozen=True)
 class FoldingConfig:
     """Self-consistency folding backend (reference loads fair-esm ESMFold,
     `inference_se3_diffusion.py:125-126`).
@@ -211,6 +226,7 @@ class InferenceConfig:
         default_factory=InferenceDiffusionConfig
     )
     samples: InferenceSamplesConfig = field(default_factory=InferenceSamplesConfig)
+    design: DesignConfig = field(default_factory=DesignConfig)
     folding: FoldingConfig = field(default_factory=FoldingConfig)
 
 

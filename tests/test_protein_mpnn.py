@@ -244,6 +244,44 @@ class TestConversion:
         assert np.all(np.isfinite(np.asarray(lp)))
 
 
+class TestDesignerFactory:
+    def test_backend_none_and_missing_weights(self, tmp_path):
+        from se3_diffusion_tpu.config import DesignConfig
+        from se3_diffusion_tpu.sampling.design import make_designer_from_config
+
+        assert make_designer_from_config(DesignConfig(backend="none")) is None
+        missing = str(tmp_path / "nope.pt")
+        assert (
+            make_designer_from_config(
+                DesignConfig(backend="auto", mpnn_weights_path=missing)
+            )
+            is None
+        )
+        with pytest.raises(FileNotFoundError):
+            make_designer_from_config(
+                DesignConfig(backend="jax", mpnn_weights_path=missing)
+            )
+        with pytest.raises(ValueError):
+            make_designer_from_config(DesignConfig(backend="torch"))
+
+    def test_builds_designer_from_checkpoint(self, tmp_path):
+        """Released-.pt contract -> working designer end to end."""
+        from se3_diffusion_tpu.config import DesignConfig
+        from se3_diffusion_tpu.sampling.design import make_designer_from_config
+
+        net = TestConversion().build_torch_reference()
+        path = str(tmp_path / "mpnn.pt")
+        torch.save({"model_state_dict": net.state_dict(), "step": 1}, path)
+        designer = make_designer_from_config(
+            DesignConfig(backend="auto", mpnn_weights_path=path),
+            mpnn_cfg=CFG,
+        )
+        assert designer is not None
+        atom37, _ = build_backbone(14)
+        seqs = designer(np.asarray(atom37), 2, 0)
+        assert len(seqs) == 2 and all(len(s) == 14 for s in seqs)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
 
