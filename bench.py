@@ -212,13 +212,14 @@ def main():
         if k.startswith("backbones_per_min_len"):
             detail[k.replace("_len", "_chip_len")] = detail[k] / n_chips
 
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_detail.json"),
-        "w",
-    ) as f:
-        json.dump({k: (round(v, 4) if isinstance(v, float) else v)
-                   for k, v in sorted(detail.items())}, f, indent=1)
+    if detail_on:  # BENCH_DETAIL=0 probes must not clobber the full record
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"),
+            "w",
+        ) as f:
+            json.dump({k: (round(v, 4) if isinstance(v, float) else v)
+                       for k, v in sorted(detail.items())}, f, indent=1)
 
     value = detail[f"backbones_per_min_len{num_res}"] / n_chips
     print(
