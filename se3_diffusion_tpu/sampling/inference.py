@@ -92,6 +92,11 @@ class InferenceRunner:
                 if "designable" in row:
                     designable.append(bool(row["designable"]))
         df = pd.DataFrame(rows)
+        if len(df):
+            # Persist the per-sample table next to summary.json so a sweep
+            # is self-describing on disk (reference collects the same rows
+            # only in memory).
+            df.to_csv(os.path.join(output_dir, "metrics.csv"), index=False)
         summary = dict(metrics_lib.diversity(ca_traces))
         if designable:
             summary["designable_fraction"] = float(np.mean(designable))
