@@ -14,6 +14,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
+from se3_diffusion_tpu.evaluation import violations as violations_lib
 from se3_diffusion_tpu.proteins import residue_constants as rc
 
 CA_IDX = 1
@@ -149,7 +150,31 @@ def backbone_metrics(
     out = ca_ca_metrics(ca)
     out.update(ss_lib.ss_percentages(atom37, atom37_mask))
     out["radius_gyration"] = ss_lib.radius_of_gyration(ca)
+    out.update(af2_violation_metrics(atom37, atom37_mask))
     return out
+
+
+# ALA atom14 slots (N, CA, C, O, CB) -> atom37 indices.
+_ALA_ATOM14_TO_ATOM37 = (0, 1, 2, 4, 3)
+
+
+def af2_violation_metrics(
+    atom37: np.ndarray, atom37_mask: np.ndarray
+) -> Dict:
+    """The five AF2 structural-violation summary metrics for a generated
+    (all-ALA) backbone — the reference computes the same columns in
+    `protein_metrics` via `amber_minimize.get_violation_metrics`
+    (`openfold/np/relax/amber_minimize.py:354-403`)."""
+    n = atom37.shape[0]
+    atom14 = np.zeros((n, 14, 3), atom37.dtype)
+    exists = np.zeros((n, 14), np.float64)
+    for a14, a37 in enumerate(_ALA_ATOM14_TO_ATOM37):
+        atom14[:, a14] = atom37[:, a37]
+        exists[:, a14] = atom37_mask[:, a37]
+    aatype = np.zeros(n, np.int64)  # ALA everywhere
+    return violations_lib.compute_violation_metrics(
+        atom14, aatype, atom14_exists=exists
+    )
 
 
 def diversity(
