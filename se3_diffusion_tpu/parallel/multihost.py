@@ -27,7 +27,15 @@ def initialize_distributed(
     """Initializes jax.distributed when running multi-host (no-op on one
     host). Returns {'process_index', 'process_count', 'local_devices'}."""
     explicit = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
-    if explicit and jax.process_count() == 1:
+    # IMPORTANT: do not touch jax.process_count()/devices() before
+    # jax.distributed.initialize — any backend query initializes the local
+    # backend and the distributed service can no longer join the job.
+    already = getattr(jax._src.distributed.global_state, "client", None)
+    if explicit and already is None:
+        if num_processes is None:
+            num_processes = int(os.environ.get("NUM_PROCESSES", "1"))
+        if process_id is None:
+            process_id = int(os.environ.get("PROCESS_ID", "0"))
         jax.distributed.initialize(
             coordinator_address=explicit,
             num_processes=num_processes,
