@@ -119,7 +119,7 @@ class PdbDataset:
     def load_example(self, i: int) -> Dict[str, np.ndarray]:
         """Loads one chain's clean features (cached, ~100 entries)."""
         row = self.df.iloc[i]
-        path = row.processed_path
+        path = self._resolve_path(row.processed_path)
         if path not in self._cache:
             if len(self._cache) > 100:
                 self._cache.pop(next(iter(self._cache)))
@@ -128,6 +128,17 @@ class PdbDataset:
         feats = dict(self._cache[path])
         feats["pdb_name"] = str(row.pdb_name)
         return feats
+
+    def _resolve_path(self, path: str) -> str:
+        """Resolves a metadata processed_path. Relative paths are taken
+        relative to the metadata.csv's own directory (so a dataset dir is
+        relocatable as a unit), falling back to cwd-relative for legacy
+        metadata written with repo-root-relative paths."""
+        if os.path.isabs(path):
+            return path
+        base = os.path.dirname(os.path.abspath(self.cfg.csv_path))
+        cand = os.path.join(base, path)
+        return cand if os.path.exists(cand) else path
 
     @staticmethod
     def _featurize(raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

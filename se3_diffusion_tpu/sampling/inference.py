@@ -78,9 +78,10 @@ class InferenceRunner:
                 sample_dir = os.path.join(length_dir, f"sample_{i}")
                 if os.path.isdir(sample_dir):
                     logger.info("Skipping existing %s", sample_dir)
-                    restored = self._restore_sample(sample_dir)
+                    restored = self._restore_sample(sample_dir, length, i)
                     if restored is not None:
-                        ca, dsgn = restored
+                        row, ca, dsgn = restored
+                        rows.append(row)
                         ca_traces.append(ca)
                         if dsgn is not None:
                             designable.append(dsgn)
@@ -109,22 +110,36 @@ class InferenceRunner:
         return df
 
     @staticmethod
-    def _restore_sample(sample_dir: str):
-        """Recovers (ca_trace, designable-or-None) from a completed sample
-        dir so resumed sweeps still report whole-run summary metrics."""
+    def _restore_sample(sample_dir: str, length: int, index: int):
+        """Recovers (row, ca_trace, designable-or-None) from a completed
+        sample dir. Backbone metrics are recomputed from the persisted PDB
+        so a resumed sweep writes a metrics.csv covering EVERY sample in
+        output_dir, not just the freshly-generated ones."""
         path = os.path.join(sample_dir, "sample_1.pdb")
         if not os.path.exists(path):
             return None
         with open(path) as f:
             prot = protein.from_pdb_string(f.read())
-        ca = prot.atom_positions[:, 1]
+        atom37 = prot.atom_positions
+        ca = atom37[:, 1]
+        row = {"length": length, "sample": index, "sample_path": path}
+        for name in ("bb_traj", "x0_traj"):
+            p = os.path.join(sample_dir, f"{name}_1.pdb")
+            if os.path.exists(p):
+                row[f"{name}_path"] = p
+        row.update(metrics_lib.backbone_metrics(atom37))
         sc_path = os.path.join(sample_dir, "self_consistency", "sc_results.csv")
         dsgn = None
         if os.path.exists(sc_path):
             sc = pd.read_csv(sc_path)
             if len(sc):
+                row["sc_rmsd_min"] = float(sc.rmsd.min())
+                row["sc_tm_max"] = float(sc.tm_score.max())
                 dsgn = bool(sc.rmsd.min() < 2.0)
-        return ca, dsgn
+                row["designable"] = dsgn
+                if "motif_rmsd" in sc:
+                    row["sc_motif_rmsd_min"] = float(sc.motif_rmsd.min())
+        return row, ca, dsgn
 
     def sample_one(self, length: int, index: int, sample_dir: str):
         inf = self.cfg.inference

@@ -199,7 +199,12 @@ class TestInferenceRunner:
     def test_resumability(self, runner):
         r, out_dir = runner
         df = r.run_sampling()  # everything exists now
-        assert len(df) == 0
+        # Restored samples are re-reported: metrics.csv always covers every
+        # sample in output_dir, not just freshly-generated ones (advisor r2).
+        assert len(df) == 4
+        assert "ca_ca_valid_percent" in df.columns
+        csv = pd.read_csv(os.path.join(out_dir, "metrics.csv"))
+        assert len(csv) == 4
         # Summary is still computed over the restored samples.
         summary = df.attrs["summary"]
         assert summary["num_samples"] == 4
