@@ -27,7 +27,16 @@ def main():
     p.add_argument("--max_len", type=int, default=256)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument(
+        "--ss_probs",
+        default=",".join(str(x) for x in syn.DEFAULT_SS_PROBS),
+        help="comma probabilities over segment types H,S,E,L",
+    )
+    p.add_argument("--max_strands", type=int, default=3)
     args = p.parse_args()
+
+    ss_probs = tuple(float(x) for x in args.ss_probs.split(","))
+    assert abs(sum(ss_probs) - 1.0) < 1e-6, ss_probs
 
     csv = syn.generate_dataset(
         args.out,
@@ -37,6 +46,8 @@ def main():
             min_len=args.min_len,
             max_len=args.max_len,
             seed=args.seed,
+            ss_probs=ss_probs,
+            max_strands=args.max_strands,
         ),
         num_processes=args.num_processes,
     )

@@ -85,33 +85,54 @@ def build_backbone_from_dihedrals(
     return atom37, mask
 
 
-def _segment_plan(rng: np.random.RandomState, length: int) -> List[Tuple[str, int]]:
+# Default segment-type probabilities over (H, S, E, L); v3 curricula
+# override these toward strand-rich mixes.
+DEFAULT_SS_PROBS = (0.40, 0.18, 0.07, 0.35)
+
+
+def _segment_plan(
+    rng: np.random.RandomState,
+    length: int,
+    ss_probs: Tuple[float, ...] = DEFAULT_SS_PROBS,
+    max_strands: int = 3,
+) -> List[Tuple[str, int, Optional[int]]]:
     """Random secondary-structure segmentation covering `length` residues.
 
-    "S" entries are paired beta sheets (hairpin / 3-strand meander) built
-    as one rigid block by `sample_sheet_dihedrals`; isolated "E" strands
-    never register as DSSP strand (no bridge partner), so real beta
-    content comes from these blocks.
+    "S" entries are paired beta sheets (hairpins up to `max_strands`-wide
+    meanders) built as one rigid block by `sample_sheet_dihedrals`;
+    isolated "E" strands never register as DSSP strand (no bridge
+    partner), so real beta content comes from these blocks. Returns
+    (ss, seg_len, n_strands-or-None) triples.
     """
-    segs: List[Tuple[str, int]] = []
+    segs: List[Tuple[str, int, Optional[int]]] = []
     total = 0
-    while total < length:
-        ss = rng.choice(["H", "S", "E", "L"], p=[0.40, 0.18, 0.07, 0.35])
+    attempts = 0
+    while total < length and attempts < 10 * length:
+        attempts += 1
+        ss = rng.choice(["H", "S", "E", "L"], p=list(ss_probs))
+        extra: Optional[int] = None
         if ss == "H":
             sl = rng.randint(5, 16)
         elif ss == "S":
-            n_strands = 3 if rng.rand() < 0.25 else 2
+            # Geometric-ish taper over meander width: wider sheets are
+            # rarer, like in the PDB.
+            counts = list(range(2, max(2, max_strands) + 1))
+            w = np.asarray([0.45 ** (k - 2) for k in counts])
+            n_strands = int(rng.choice(counts, p=w / w.sum()))
             ns = rng.randint(4, 9)
             sl = n_strands * ns + 2 * (n_strands - 1)
             if sl > length - total:  # not enough room for a paired block
                 continue
+            extra = n_strands
         elif ss == "E":
             sl = rng.randint(3, 10)
         else:
             sl = rng.randint(2, 7)
         sl = min(sl, length - total)
-        segs.append((ss, sl))
+        segs.append((ss, sl, extra))
         total += sl
+    if total < length:  # pathological plan; pad with loop
+        segs.append(("L", length - total, None))
     return segs
 
 
@@ -120,25 +141,33 @@ def _segment_plan(rng: np.random.RandomState, length: int) -> List[Tuple[str, in
 # N(-110,12)), residue 2 ~ (N(-95,10), N(15,8)). ~19% of raw draws give a
 # clash-free DSSP-detected hairpin, so block-level rejection is cheap.
 def sample_sheet_dihedrals(
-    rng: np.random.RandomState, block_len: int, max_tries: int = 30
+    rng: np.random.RandomState,
+    block_len: int,
+    n_strands: Optional[int] = None,
+    max_tries: int = 30,
 ) -> Tuple[np.ndarray, np.ndarray, str]:
     """Dihedrals for an antiparallel sheet block of `block_len` residues.
 
-    Solves n_strands/ns back from block_len (n*ns + 2*(n-1) = block_len);
-    rejection-samples until the standalone block is clash-free and
+    Rejection-samples until the standalone block is clash-free and
     DSSP-lite actually assigns strand state (H-bond registry formed).
     Returns (phis, psis, ss_chars) with 'E' on strands and 'T' on turns —
     'T' marks turn residues that must stay FIXED during compaction (a
     pivot inside the turn would break the strand pairing).
+
+    `n_strands` selects hairpin (2) up to wider meanders; when None it is
+    solved back from block_len (legacy v2 behavior).
     """
     from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
 
-    n_strands = 3 if (block_len - 4) % 3 == 0 and block_len >= 16 else 2
+    if n_strands is None:
+        n_strands = 3 if (block_len - 4) % 3 == 0 and block_len >= 16 else 2
     ns = (block_len - 2 * (n_strands - 1)) // n_strands
     rem = block_len - (n_strands * ns + 2 * (n_strands - 1))
-    min_strand = 0.5 if n_strands == 3 else 0.45
+    min_strand = 0.45 if n_strands != 3 else 0.5
     best = None
     best_frac = -1.0
+    fallback = None  # least-clashed candidate: wide meanders can fail
+    fallback_mind = -np.inf  # every clash check; never return None
     for _ in range(max_tries):
         phis: List[float] = []
         psis: List[float] = []
@@ -154,14 +183,17 @@ def sample_sheet_dihedrals(
                 chars += ["T", "T"]
         cand = (np.array(phis), np.array(psis), "".join(chars))
         a37, mask = build_backbone_from_dihedrals(cand[0], cand[1])
-        if min_nonlocal_ca_dist(a37[:, 1]) < 3.6:
+        mind = min_nonlocal_ca_dist(a37[:, 1])
+        if mind > fallback_mind:
+            fallback, fallback_mind = cand, mind
+        if mind < 3.6:
             continue
         frac = ss_lib.ss_percentages(a37, mask)["strand_percent"]
         if frac > best_frac:
             best, best_frac = cand, frac
         if frac >= min_strand:
             break
-    return best
+    return best if best is not None else fallback
 
 
 def _loop_dihedrals(rng, count):
@@ -173,20 +205,25 @@ def _loop_dihedrals(rng, count):
     return out
 
 
-def sample_dihedrals(rng: np.random.RandomState, length: int):
+def sample_dihedrals(
+    rng: np.random.RandomState,
+    length: int,
+    ss_probs: Tuple[float, ...] = DEFAULT_SS_PROBS,
+    max_strands: int = 3,
+):
     """Returns (phis, psis, ss_string) for one random fold topology."""
     phis = np.zeros(length)
     psis = np.zeros(length)
     ss_chars = []
     pos = 0
-    for ss, sl in _segment_plan(rng, length):
+    for ss, sl, extra in _segment_plan(rng, length, ss_probs, max_strands):
         if ss == "L":
             d = _loop_dihedrals(rng, sl)
             phis[pos : pos + sl] = d[:, 0]
             psis[pos : pos + sl] = d[:, 1]
             ss_chars.extend(ss * sl)
         elif ss == "S":
-            sp, sps, chars = sample_sheet_dihedrals(rng, sl)
+            sp, sps, chars = sample_sheet_dihedrals(rng, sl, n_strands=extra)
             phis[pos : pos + sl] = sp
             psis[pos : pos + sl] = sps
             ss_chars.extend(chars)
@@ -326,6 +363,8 @@ def sample_structure(
     clash_dist: float = 3.2,
     compact_steps: Optional[int] = None,
     num_snapshots: int = 1,
+    ss_probs: Tuple[float, ...] = DEFAULT_SS_PROBS,
+    max_strands: int = 3,
 ):
     """Compact clash-free backbone(s) of `length` residues.
 
@@ -345,7 +384,7 @@ def sample_structure(
     fallback = None  # least-clashed attempt, used if every try is rejected
     fallback_mind = -np.inf
     for _ in range(tries):
-        phis, psis, ss = sample_dihedrals(rng, length)
+        phis, psis, ss = sample_dihedrals(rng, length, ss_probs, max_strands)
         atom37, mask = build_backbone_from_dihedrals(phis, psis)
         ss_arr = np.frombuffer(ss.encode(), dtype="S1")
         fixed = ss_arr != b"L"
@@ -382,6 +421,10 @@ class CurriculumConfig:
     min_len: int = 60
     max_len: int = 256
     seed: int = 0
+    # Segment-type probabilities over (H, S, E, L) and the widest sheet
+    # meander; v3 strand-rich curricula raise S and max_strands.
+    ss_probs: Tuple[float, ...] = DEFAULT_SS_PROBS
+    max_strands: int = 3
 
 
 def _sample_length(rng: np.random.RandomState, lo: int, hi: int) -> int:
@@ -392,10 +435,16 @@ def _sample_length(rng: np.random.RandomState, lo: int, hi: int) -> int:
 
 def _make_one(args):
     i, cfg_tuple = args
-    lo, hi, seed, num_snapshots = cfg_tuple
+    lo, hi, seed, num_snapshots, ss_probs, max_strands = cfg_tuple
     rng = np.random.RandomState(seed * 1_000_003 + i)
     length = _sample_length(rng, lo, hi)
-    snaps, mask = sample_structure(rng, length, num_snapshots=num_snapshots)
+    snaps, mask = sample_structure(
+        rng,
+        length,
+        num_snapshots=num_snapshots,
+        ss_probs=ss_probs,
+        max_strands=max_strands,
+    )
     if num_snapshots == 1:  # sample_structure unwraps singleton lists
         snaps = [snaps]
     return i, length, snaps, mask
@@ -417,7 +466,17 @@ def generate_dataset(
 
     os.makedirs(out_dir, exist_ok=True)
     jobs = [
-        (i, (cfg.min_len, cfg.max_len, cfg.seed, cfg.snapshots_per_topology))
+        (
+            i,
+            (
+                cfg.min_len,
+                cfg.max_len,
+                cfg.seed,
+                cfg.snapshots_per_topology,
+                tuple(cfg.ss_probs),
+                cfg.max_strands,
+            ),
+        )
         for i in range(cfg.num_topologies)
     ]
     rows = []
@@ -442,7 +501,9 @@ def generate_dataset(
             rows.append(
                 {
                     "pdb_name": name,
-                    "processed_path": pkl_path,
+                    # csv-relative: the dataset dir is relocatable as a
+                    # unit (PdbDataset resolves against the csv location).
+                    "processed_path": f"{name}.pkl",
                     "raw_path": "synthetic",
                     "resolution": 0.0,
                     "oligomeric_detail": "monomeric",
