@@ -197,6 +197,24 @@ class TestPlotting:
         for f in ("trace.png", "frames.png", "traj.png"):
             assert (tmp_path / f).stat().st_size > 1000
 
+    def test_traces_overlay_and_animation(self, tmp_path):
+        from se3_diffusion_tpu.evaluation import plotting
+
+        a, _ = build_backbone(16)
+        b, _ = build_backbone(16, phi=-120.0, psi=120.0)
+        plotting.plot_traces(
+            [a[:, 1], b[:, 1]],
+            str(tmp_path / "overlay.png"),
+            labels=["helix", "strand"],
+        )
+        traj = np.stack([a + i * 0.5 for i in range(5)])
+        out = plotting.animate_trajectory(
+            traj, str(tmp_path / "traj.gif"), fps=4, stride=2
+        )
+        assert (tmp_path / "overlay.png").stat().st_size > 1000
+        assert (tmp_path / "traj.gif").stat().st_size > 1000
+        assert out.endswith(".gif")
+
 
 class TestMultihost:
     def test_single_host_init(self):
