@@ -322,4 +322,25 @@ class Experiment:
         df.to_csv(os.path.join(eval_dir, "metrics.csv"), index=False)
         means = {f"eval_{k}": float(v) for k, v in df.mean(numeric_only=True).items()}
         self._log({"step": step, **means})
+        if self._wandb is not None:
+            # Eval sample table with 3D structure viewers (the reference's
+            # wandb.Molecule table, `train_se3_diffusion.py:438-444`).
+            try:
+                cols = ["length", "sample", "structure"] + [
+                    c for c in df.columns if c not in ("length", "sample")
+                ]
+                table = self._wandb.Table(columns=cols)
+                for r in rows:
+                    pdb_path = os.path.join(
+                        eval_dir, f"len_{r['length']}_sample_{r['sample']}.pdb"
+                    )
+                    table.add_data(
+                        r["length"],
+                        r["sample"],
+                        self._wandb.Molecule(pdb_path),
+                        *[r[c] for c in df.columns if c not in ("length", "sample")],
+                    )
+                self._wandb.log({"eval/samples": table}, step=step)
+            except Exception:  # viewer upload must never fail an eval
+                logger.warning("wandb eval table upload failed", exc_info=True)
         return means

@@ -120,6 +120,31 @@ class TestGenerateDataset:
         assert batch["rigids_0"].shape[0] == 2
         assert np.isfinite(batch["rigids_0"]).all()
 
+    def test_ss_probs_raise_strand_content(self):
+        """Strand-heavy segment probabilities + wider meanders (the v3
+        curriculum settings) produce materially more strand than the
+        defaults at the plan level."""
+        import numpy as np
+
+        from se3_diffusion_tpu.data import synthetic as syn
+
+        def planned_strand_frac(probs, max_strands, seeds=8, length=120):
+            fracs = []
+            for i in range(seeds):
+                rng = np.random.RandomState(500 + i)
+                segs = syn._segment_plan(rng, length, probs, max_strands)
+                sheet = sum(sl for ss, sl, _ in segs if ss == "S")
+                fracs.append(sheet / length)
+            return float(np.mean(fracs))
+
+        base = planned_strand_frac(syn.DEFAULT_SS_PROBS, 3)
+        rich = planned_strand_frac((0.28, 0.34, 0.05, 0.33), 4)
+        assert rich > base + 0.08, (base, rich)
+        # Wide meanders never return None even under heavy rejection.
+        rng = np.random.RandomState(1)
+        out = syn.sample_sheet_dihedrals(rng, 4 * 5 + 6, n_strands=4)
+        assert out is not None and len(out[0]) == 26
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
