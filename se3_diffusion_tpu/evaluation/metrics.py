@@ -166,8 +166,12 @@ def af2_violation_metrics(
     `protein_metrics` via `amber_minimize.get_violation_metrics`
     (`openfold/np/relax/amber_minimize.py:354-403`)."""
     n = atom37.shape[0]
-    atom14 = np.zeros((n, 14, 3), atom37.dtype)
-    exists = np.zeros((n, 14), np.float64)
+    # Trimmed 5-slot atom14 (ALA's real atoms) in float32: the clash and
+    # within-residue matrices are [N, N, W, W]; W=5 instead of 14 keeps
+    # the temporaries ~8x smaller (N=500 drops from ~50s to ~1s).
+    width = len(_ALA_ATOM14_TO_ATOM37)
+    atom14 = np.zeros((n, width, 3), np.float32)
+    exists = np.zeros((n, width), np.float32)
     for a14, a37 in enumerate(_ALA_ATOM14_TO_ATOM37):
         atom14[:, a14] = atom37[:, a37]
         exists[:, a14] = atom37_mask[:, a37]

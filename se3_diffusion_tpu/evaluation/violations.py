@@ -250,20 +250,23 @@ def af2_between_residue_clash_loss(
         residue_index[:, None, None, None] + 1
         == residue_index[None, :, None, None]
     )
-    c_slot = np.zeros(14)
+    width = atom14_pos.shape[1]  # 14, or fewer when slots are trimmed
+    c_slot = np.zeros(width)
     c_slot[2] = 1.0
-    n_slot = np.zeros(14)
+    n_slot = np.zeros(width)
     n_slot[0] = 1.0
     dists_mask = dists_mask * (
         1.0 - neighbour * c_slot[None, None, :, None] * n_slot[None, None, None, :]
     )
     # Disulfide SG(CYS)-SG(CYS) is bonded, not a clash. AF2 applies the
     # SG-slot exemption unconditionally on the slot index (slot 5).
-    sg = np.zeros(14)
-    sg[rc.RESTYPE_NAME_TO_ATOM14_NAMES["CYS"].index("SG")] = 1.0
-    dists_mask = dists_mask * (
-        1.0 - sg[None, None, :, None] * sg[None, None, None, :]
-    )
+    sg_idx = rc.RESTYPE_NAME_TO_ATOM14_NAMES["CYS"].index("SG")
+    if sg_idx < width:
+        sg = np.zeros(width)
+        sg[sg_idx] = 1.0
+        dists_mask = dists_mask * (
+            1.0 - sg[None, None, :, None] * sg[None, None, None, :]
+        )
 
     lower = dists_mask * (
         atom14_radius[:, None, :, None] + atom14_radius[None, :, None, :]
@@ -293,7 +296,7 @@ def af2_within_residue_violations(
     eps: float = 1e-10,
 ) -> Dict[str, np.ndarray]:
     """Within-residue bond/angle/clash bounds (AF2 suppl. eq 46, within)."""
-    masks = (1.0 - np.eye(14))[None]
+    masks = (1.0 - np.eye(atom14_pos.shape[1]))[None]
     masks = atom14_exists[:, :, None] * atom14_exists[:, None, :] * masks
     dists = np.sqrt(
         eps
@@ -327,14 +330,14 @@ def find_structural_violations(
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Full AF2 violation report (reference `loss.py:1105-1216` output
     contract: between_residues / within_residues / total mask)."""
-    n = atom14_pos.shape[0]
+    n, width = atom14_pos.shape[0], atom14_pos.shape[1]
     aatype = np.asarray(aatype, np.int64)
     if residue_index is None:
         residue_index = np.arange(n, dtype=np.float64)
     exists_table, radius_table = rc.atom14_exists_and_radius()
     if atom14_exists is None:
-        atom14_exists = exists_table[aatype]
-    atom14_radius = atom14_exists * radius_table[aatype]
+        atom14_exists = exists_table[aatype][:, :width]
+    atom14_radius = atom14_exists * radius_table[aatype][:, :width]
 
     connection = af2_between_residue_bond_loss(
         atom14_pos,
@@ -359,8 +362,8 @@ def find_structural_violations(
     within = af2_within_residue_violations(
         atom14_pos,
         atom14_exists,
-        bounds["lower_bound"][aatype],
-        bounds["upper_bound"][aatype],
+        bounds["lower_bound"][aatype][:, :width, :width],
+        bounds["upper_bound"][aatype][:, :width, :width],
         tighten_bounds_for_loss=0.0,
     )
     total_mask = np.max(
@@ -435,6 +438,7 @@ def compute_violation_metrics(
         seq_mask = np.ones(n)
     if atom14_exists is None:
         atom14_exists = rc.atom14_exists_and_radius()[0][aatype]
+        atom14_exists = atom14_exists[:, : atom14_pos.shape[1]]
     if violations is None:
         violations = find_structural_violations(
             atom14_pos, aatype, residue_index, atom14_exists
