@@ -21,6 +21,12 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/report_training.py \
     --eval_dir "eval_outputs/${RUN}" \
     --out "${CKPT_DIR}/REPORT.md"
 echo "report: ${CKPT_DIR}/REPORT.md"
+
+# Git-committable single-file weights (orbax dirs are gitignored and do
+# not survive workspace resets; the npz lets the next round warm-start).
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/export_params.py \
+    --ckpt_dir "${CKPT_DIR}" \
+    --out "${CKPT_DIR}/params_${LATEST}.npz"
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<EOF
 import json
 s = json.load(open("${OUT}/summary.json"))

@@ -13,6 +13,7 @@ import os
 from typing import Any, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from se3_diffusion_tpu.training.train_step import TrainState
@@ -101,8 +102,60 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def _flatten_params(tree: Any, prefix: str = "") -> dict:
+    """Nested param dict -> flat {"a/b/c": ndarray} (keys never contain
+    "/" themselves — flax module/leaf names are identifiers)."""
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten_params(v, key + "/"))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_params(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(path: str, params: Any, ema_params: Any = None) -> None:
+    """Persists parameter pytrees as one compressed .npz.
+
+    Unlike orbax directories, a single npz file is git-committable, so a
+    trained model survives workspace resets (orbax checkpoint binaries
+    do not — see CLAUDE.md). Layout: "params/<flat/leaf/path>" entries,
+    plus "ema/<...>" when an EMA average is provided.
+    """
+    flat = {f"params/{k}": v for k, v in _flatten_params(params).items()}
+    if ema_params is not None:
+        flat.update(
+            {f"ema/{k}": v for k, v in _flatten_params(ema_params).items()}
+        )
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str, prefer_ema: bool = False) -> Any:
+    with np.load(path) as z:
+        want = "ema/" if prefer_ema and any(
+            k.startswith("ema/") for k in z.files
+        ) else "params/"
+        flat = {k[len(want):]: z[k] for k in z.files if k.startswith(want)}
+    if not flat:
+        raise ValueError(f"No '{want}' entries in {path}")
+    return _unflatten_params(flat)
+
+
 def warm_start_params(path: str, model_conf, prefer_ema: bool = False) -> Any:
-    """Loads params from either an orbax dir or a torch .pth checkpoint.
+    """Loads params from an orbax dir, a torch .pth checkpoint, or a
+    `save_params_npz` archive.
 
     With prefer_ema=True, returns the checkpoint's EMA parameter average
     when one was saved (inference wants the EMA weights; training warm
@@ -113,6 +166,8 @@ def warm_start_params(path: str, model_conf, prefer_ema: bool = False) -> Any:
 
         params, _ = convert_checkpoint(path, model_conf)
         return params
+    if path.endswith(".npz"):
+        return load_params_npz(path, prefer_ema=prefer_ema)
     mgr = ocp.CheckpointManager(os.path.abspath(path))
     step = mgr.latest_step()
     if step is None:

@@ -204,6 +204,48 @@ class TestEma:
         assert all(np.allclose(x, y) for x, y in zip(got_ema, a))
         assert all(np.allclose(x, y) for x, y in zip(got_raw, want_raw))
 
+    def test_params_npz_roundtrip(self, setup, tmp_path):
+        # Single-file export (git-committable, survives workspace resets)
+        # loads back bit-identically through every entry point.
+        from se3_diffusion_tpu.training.checkpoints import (
+            load_params_npz,
+            save_params_npz,
+            warm_start_params,
+        )
+
+        _, model, _ = setup
+        state = create_train_state(
+            jax.random.PRNGKey(0), SMALL_CFG, model, 12, use_ema=True
+        )
+        path = str(tmp_path / "params.npz")
+        save_params_npz(path, state.params, ema_params=state.ema_params)
+        raw = load_params_npz(path)
+        ema = load_params_npz(path, prefer_ema=True)
+        flat = lambda t: jax.tree_util.tree_flatten_with_path(t)
+        (raw_kv, raw_td), (want_kv, want_td) = flat(raw), flat(state.params)
+        assert raw_td == want_td  # identical tree structure, not just leaves
+        assert all(
+            np.array_equal(a[1], np.asarray(b[1]))
+            for a, b in zip(raw_kv, want_kv)
+        )
+        want_ema = jax.tree_util.tree_leaves(state.ema_params)
+        got_ema = jax.tree_util.tree_leaves(ema)
+        assert all(
+            np.array_equal(x, np.asarray(y)) for x, y in zip(got_ema, want_ema)
+        )
+        # warm_start_params dispatches on the .npz suffix.
+        ws = warm_start_params(path, None, prefer_ema=True)
+        assert jax.tree_util.tree_structure(ws) == jax.tree_util.tree_structure(
+            state.params
+        )
+        # EMA-free archives fall back to raw params under prefer_ema.
+        path2 = str(tmp_path / "raw_only.npz")
+        save_params_npz(path2, state.params)
+        raw2 = load_params_npz(path2, prefer_ema=True)
+        assert jax.tree_util.tree_structure(raw2) == jax.tree_util.tree_structure(
+            state.params
+        )
+
 
 class TestGradClipAndDonate:
     def test_grad_clip_bounds_update(self, setup):
