@@ -33,24 +33,45 @@ def main():
         help="comma probabilities over segment types H,S,E,L",
     )
     p.add_argument("--max_strands", type=int, default=3)
+    p.add_argument(
+        "--batched",
+        action="store_true",
+        help="use the XLA-batched generator (data/synthetic_batch.py)",
+    )
+    p.add_argument("--batch_size", type=int, default=96)
+    p.add_argument(
+        "--long_frac",
+        type=float,
+        default=0.0,
+        help="fraction of chains drawn uniformly from [long_min, max_len]",
+    )
+    p.add_argument("--long_min", type=int, default=320)
     args = p.parse_args()
 
     ss_probs = tuple(float(x) for x in args.ss_probs.split(","))
     assert abs(sum(ss_probs) - 1.0) < 1e-6, ss_probs
 
-    csv = syn.generate_dataset(
-        args.out,
-        syn.CurriculumConfig(
-            num_topologies=args.num_topologies,
-            snapshots_per_topology=args.snapshots,
-            min_len=args.min_len,
-            max_len=args.max_len,
-            seed=args.seed,
-            ss_probs=ss_probs,
-            max_strands=args.max_strands,
-        ),
-        num_processes=args.num_processes,
+    cfg = syn.CurriculumConfig(
+        num_topologies=args.num_topologies,
+        snapshots_per_topology=args.snapshots,
+        min_len=args.min_len,
+        max_len=args.max_len,
+        seed=args.seed,
+        ss_probs=ss_probs,
+        max_strands=args.max_strands,
     )
+    if args.batched:
+        from se3_diffusion_tpu.data import synthetic_batch as sb
+
+        csv = sb.generate_dataset_batch(
+            args.out,
+            cfg,
+            batch_size=args.batch_size,
+            long_frac=args.long_frac,
+            long_min=args.long_min,
+        )
+    else:
+        csv = syn.generate_dataset(args.out, cfg, num_processes=args.num_processes)
     print(csv)
 
 

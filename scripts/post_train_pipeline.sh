@@ -4,13 +4,23 @@
 # Usage: bash scripts/post_train_pipeline.sh synth_r3_v4
 set -euo pipefail
 RUN=${1:?run name}
+# Config: second arg, or derived from the run name (synth_r3_v5 ->
+# configs/synthetic_tpu_v5.yaml), so a run never sweeps under a
+# mismatched config.
+CONFIG=${2:-}
+if [ -z "${CONFIG}" ]; then
+  SUFFIX=$(echo "${RUN}" | grep -oE 'v[0-9]+$' || true)
+  CONFIG="configs/synthetic_tpu${SUFFIX:+_${SUFFIX}}.yaml"
+fi
+[ -f "${CONFIG}" ] || { echo "config not found: ${CONFIG} (pass it as arg 2)"; exit 1; }
+echo "sweep config: ${CONFIG}"
 CKPT_DIR="ckpt/${RUN}"
 LATEST=$(ls "${CKPT_DIR}" | grep -E '^[0-9]+$' | sort -n | tail -1)
 echo "latest checkpoint: ${CKPT_DIR}/${LATEST}"
 
 OUT="results/${RUN}_sweep"
 python scripts/sample.py \
-    --config configs/synthetic_tpu_v4.yaml \
+    --config "${CONFIG}" \
     --weights "${CKPT_DIR}" \
     --min_length 64 --max_length 256 --length_step 16 \
     --samples_per_length 8 \

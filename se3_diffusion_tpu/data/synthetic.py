@@ -210,8 +210,16 @@ def sample_dihedrals(
     length: int,
     ss_probs: Tuple[float, ...] = DEFAULT_SS_PROBS,
     max_strands: int = 3,
+    sheet_sampler=None,
 ):
-    """Returns (phis, psis, ss_string) for one random fold topology."""
+    """Returns (phis, psis, ss_string) for one random fold topology.
+
+    `sheet_sampler` overrides the paired-sheet block generator (same
+    signature as `sample_sheet_dihedrals`); the batched generator passes
+    a vectorized rejection sampler here.
+    """
+    if sheet_sampler is None:
+        sheet_sampler = sample_sheet_dihedrals
     phis = np.zeros(length)
     psis = np.zeros(length)
     ss_chars = []
@@ -223,7 +231,7 @@ def sample_dihedrals(
             psis[pos : pos + sl] = d[:, 1]
             ss_chars.extend(ss * sl)
         elif ss == "S":
-            sp, sps, chars = sample_sheet_dihedrals(rng, sl, n_strands=extra)
+            sp, sps, chars = sheet_sampler(rng, sl, n_strands=extra)
             phis[pos : pos + sl] = sp
             psis[pos : pos + sl] = sps
             ss_chars.extend(chars)

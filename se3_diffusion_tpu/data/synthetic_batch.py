@@ -1,0 +1,578 @@
+"""Batched, XLA-compiled synthetic-backbone generator.
+
+Same curriculum as `data/synthetic.py` (Ramachandran-basin dihedrals ->
+NERF build -> pivot-Monte-Carlo collapse to globular Rg), but the
+pivot-MC compaction — the O(steps * N^2) hot loop that made the original
+generator ~1 chain/s on this single-core host — runs as one jitted
+`lax.scan` over a whole batch of chains at once. Chains are grouped by
+length into padded buckets (multiples of 32) so the number of XLA
+compiles is bounded; per-chain real lengths, movable masks and Rg
+targets are carried as arrays inside the kernel.
+
+The physics is identical to `synthetic.compact_backbone` (single-bond
+pivot of the shorter side, never-worsen-the-worst-contact clash rule,
+annealed Metropolis on Rg, fixed helix/strand interiors, per-chain
+snapshot capture along the collapse trajectory); only the batching and
+the RNG stream differ, so parity tests are distributional.
+
+Output contract is unchanged: per-chain `.pkl` + `metadata.csv`, as in
+the reference's `data/process_pdb_dataset.py:97-235`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from se3_diffusion_tpu.data import synthetic as syn
+
+# atom4 column order: N, CA, C, O (atom37 slots 0, 1, 2, 4).
+_ATOM37_COLS = np.array([0, 1, 2, 4])
+
+
+def build_backbones_batch(
+    phis: np.ndarray, psis: np.ndarray, omegas: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Vectorized NERF over a batch: [B,N] dihedrals -> atom4 [B,N,4,3].
+
+    Same ideal-geometry chain build as
+    `synthetic.build_backbone_from_dihedrals` but with all per-residue
+    placements done batched over B (the residue loop stays in Python —
+    NERF is inherently sequential along the chain).
+    """
+    B, N = phis.shape
+    if omegas is None:
+        omegas = np.full((B, N), 180.0)
+
+    def place(a, b, c, bond, angle_deg, torsion_deg):
+        # Batched NERF placement: a,b,c [B,3]; torsion_deg [B] or scalar.
+        angle = np.deg2rad(angle_deg)
+        torsion = np.deg2rad(torsion_deg)
+        bc = c - b
+        bc /= np.linalg.norm(bc, axis=-1, keepdims=True)
+        n = np.cross(b - a, bc)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        m = np.cross(n, bc)
+        d0 = -bond * np.cos(angle)
+        d1 = bond * np.sin(angle) * np.cos(torsion)
+        d2 = bond * np.sin(angle) * np.sin(torsion)
+        if np.isscalar(d1) or np.ndim(d1) == 0:
+            d1 = np.full(B, d1)
+            d2 = np.full(B, d2)
+        return c + d0 * bc + d1[:, None] * m + d2[:, None] * n
+
+    n_at = np.zeros((B, 3))
+    ca = np.tile([syn.B_N_CA, 0.0, 0.0], (B, 1))
+    c = place(
+        n_at + [0.0, 1.0, 0.0], n_at, ca, syn.B_CA_C, syn.A_N_CA_C, 0.0
+    )
+    out = np.zeros((B, N, 4, 3), np.float32)
+    for i in range(N):
+        o = place(n_at, ca, c, syn.B_C_O, syn.A_CA_C_O, psis[:, i] + 180.0)
+        out[:, i, 0], out[:, i, 1], out[:, i, 2], out[:, i, 3] = n_at, ca, c, o
+        if i < N - 1:
+            n_next = place(n_at, ca, c, syn.B_C_N, syn.A_CA_C_N, psis[:, i])
+            ca_next = place(
+                ca, c, n_next, syn.B_N_CA, syn.A_C_N_CA, omegas[:, i]
+            )
+            c_next = place(
+                c, n_next, ca_next, syn.B_CA_C, syn.A_N_CA_C, phis[:, i + 1]
+            )
+            n_at, ca, c = n_next, ca_next, c_next
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_compact():
+    import jax
+
+    return jax.jit(
+        _compact_batch_segment,
+        static_argnames=("seg_steps", "total_steps", "clash_dist"),
+    )
+
+
+def _compact_batch_segment(
+    a0,  # [B,N,4,3] f32
+    rg0,  # [B] f32 (pass None-sentinel via recompute flag below)
+    min0,  # [B] f32
+    real_len,  # [B] i32
+    movable,  # [B,N] bool (loop residues, real only)
+    target_rg,  # [B] f32
+    key,  # PRNGKey
+    step_offset,  # scalar i32 (traced)
+    seg_steps: int,
+    total_steps: int,
+    clash_dist: float,
+):
+    """One segment of the batched pivot-MC collapse.
+
+    Per-chain semantics match `synthetic.compact_backbone`: per step one
+    residue's phi or psi pivots the shorter side of the bond; moves that
+    worsen the worst non-local CA contact below min(clash_dist, current)
+    are rejected; otherwise Metropolis on Rg with temperature annealed
+    over that chain's own 4*len step budget. Chains freeze once Rg hits
+    target (the original's loop break). Snapshot capture happens between
+    segments on the host, so the scan carries no snapshot buffer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, N = a0.shape[:2]
+    r = jnp.arange(N)
+    real = r[None, :] < real_len[:, None]  # [B,N]
+    # Non-local CA pair penalty: |i-j| < 3 or either residue padded.
+    band = jnp.abs(r[:, None] - r[None, :]) < 3  # [N,N]
+    pair_pen = jnp.where(
+        band[None] | ~real[:, None, :] | ~real[:, :, None], jnp.inf, 0.0
+    )  # [B,N,N]
+    n_movable = movable.sum(-1)  # [B] (guaranteed >=1 by caller)
+    mov_cum = jnp.cumsum(movable, axis=-1)  # [B,N]
+    steps_b = 4 * real_len  # per-chain step budget (original compact_steps)
+
+    def masked_rg(ca):
+        w = real[..., None]
+        mean = (ca * w).sum(1, keepdims=True) / real_len[:, None, None]
+        d2 = (((ca - mean) ** 2) * w).sum((-1, -2)) / real_len
+        return jnp.sqrt(d2)
+
+    def min_pair(ca):
+        sq = (ca**2).sum(-1)  # [B,N]
+        d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum(
+            "bnd,bmd->bnm", ca, ca
+        )
+        d2 = jnp.maximum(d2, 0.0) + pair_pen
+        return jnp.sqrt(d2.min((-1, -2)))
+
+    def step_fn(carry, xs):
+        a, rg, cur_min, done = carry
+        step, k = xs
+        done = done | (rg <= target_rg)
+        ku = jax.random.split(k, 4)
+        # Pick a movable residue per chain via inverse-CDF on the mask.
+        pick = jax.random.uniform(ku[0], (B,))
+        kth = jnp.floor(pick * n_movable).astype(jnp.int32)
+        i = jnp.argmax(mov_cum > kth[:, None], axis=1)  # [B]
+        use_phi = (jax.random.uniform(ku[1], (B,)) < 0.5) & (i > 0)
+        delta = jnp.deg2rad(30.0) * jax.random.normal(ku[2], (B,))
+        u_acc = jax.random.uniform(ku[3], (B,))
+
+        idx3 = jnp.broadcast_to(i[:, None, None], (B, 1, 3))
+        gat = lambda atom: jnp.take_along_axis(a[:, :, atom], idx3, axis=1)[
+            :, 0
+        ]
+        n_i, ca_i, c_i = gat(0), gat(1), gat(2)
+        origin = jnp.where(use_phi[:, None], n_i, ca_i)
+        axis = jnp.where(use_phi[:, None], ca_i - n_i, c_i - ca_i)
+        axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+        upstream = i >= (real_len - i)  # pivot the shorter side
+        ang = jnp.where(upstream, -delta, delta)
+
+        # Which atoms move: [B,N,4].
+        gt = (r[None] > i[:, None])[..., None]
+        lt = (r[None] < i[:, None])[..., None]
+        eq = (r[None] == i[:, None])[..., None]
+        at4 = jnp.arange(4)[None, None]
+        dn_at = jnp.where(
+            use_phi[:, None, None], at4 >= 2, at4 == 3
+        )  # phi: {C,O}; psi: {O}
+        up_at = jnp.where(
+            use_phi[:, None, None], at4 == 0, at4 <= 1
+        )  # phi: {N}; psi: {N,CA}
+        move = jnp.where(
+            upstream[:, None, None], lt | (eq & up_at), gt | (eq & dn_at)
+        )
+
+        # Rodrigues rotation of the moving side about the bond axis.
+        cth, sth = jnp.cos(ang), jnp.sin(ang)
+        rel = a - origin[:, None, None]
+        kxr = jnp.cross(jnp.broadcast_to(axis[:, None, None], rel.shape), rel)
+        kdr = (axis[:, None, None] * rel).sum(-1, keepdims=True)
+        rot = (
+            origin[:, None, None]
+            + rel * cth[:, None, None, None]
+            + kxr * sth[:, None, None, None]
+            + axis[:, None, None] * kdr * (1.0 - cth)[:, None, None, None]
+        )
+        cand = jnp.where(move[..., None], rot, a)
+
+        ca = cand[:, :, 1]
+        new_min = min_pair(ca)
+        new_rg = masked_rg(ca)
+        temp = 0.5 * (1.0 - step / jnp.maximum(steps_b, 1)) + 0.02
+        clash_ok = new_min >= jnp.minimum(clash_dist, cur_min)
+        metro = (new_rg < rg) | (u_acc < jnp.exp(-(new_rg - rg) / temp))
+        active = (step < steps_b) & ~done
+        acc = clash_ok & metro & active
+        a = jnp.where(acc[:, None, None, None], cand, a)
+        rg = jnp.where(acc, new_rg, rg)
+        cur_min = jnp.where(acc, new_min, cur_min)
+        return (a, rg, cur_min, done), None
+
+    keys = jax.random.split(key, seg_steps)
+    steps = step_offset + jnp.arange(seg_steps)
+    (a, rg, cur_min, done), _ = jax.lax.scan(
+        step_fn,
+        (a0, rg0, min0, jnp.zeros((B,), bool)),
+        (steps, keys),
+    )
+    return a, rg, cur_min
+
+
+def _compact_batch(
+    a0, real_len, movable, target_rg, key, num_snapshots, clash_dist
+):
+    """Runs the segmented collapse; returns (snaps [S,B,N,4,3], rg, min)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = a0.shape[1]
+    total = 4 * N
+    S = max(1, num_snapshots)
+    seg = -(-total // S)  # ceil
+    fn = _jitted_compact()
+    a = jnp.asarray(a0)
+    # Initial rg/min via a zero-step pass would waste a compile; compute
+    # with numpy on the host instead (one-time per batch).
+    rg = _np_masked_rg(a0, np.asarray(real_len))
+    mn = _np_masked_min(a0, np.asarray(real_len))
+    rg = jnp.asarray(rg)
+    mn = jnp.asarray(mn)
+    snaps = []
+    for k in range(S):
+        key, sub = jax.random.split(key)
+        a, rg, mn = fn(
+            a,
+            rg,
+            mn,
+            real_len,
+            movable,
+            target_rg,
+            sub,
+            jnp.int32(k * seg),
+            seg_steps=seg,
+            total_steps=total,
+            clash_dist=clash_dist,
+        )
+        snaps.append(a)
+    return np.stack([np.asarray(s) for s in snaps]), np.asarray(
+        rg
+    ), np.asarray(mn)
+
+
+def _np_masked_rg(a, real_len):
+    out = np.zeros(a.shape[0], np.float32)
+    for b in range(a.shape[0]):
+        ca = a[b, : real_len[b], 1]
+        out[b] = np.sqrt(((ca - ca.mean(0)) ** 2).sum(-1).mean())
+    return out
+
+
+def _np_masked_min(a, real_len, sep: int = 3):
+    out = np.zeros(a.shape[0], np.float32)
+    for b in range(a.shape[0]):
+        ca = a[b, : real_len[b], 1]
+        out[b] = syn.min_nonlocal_ca_dist(ca, sep)
+    return out
+
+
+def sample_sheet_dihedrals_fast(
+    rng: np.random.RandomState,
+    block_len: int,
+    n_strands: Optional[int] = None,
+    max_tries: int = 30,
+) -> Tuple[np.ndarray, np.ndarray, str]:
+    """Vectorized drop-in for `synthetic.sample_sheet_dihedrals`.
+
+    Same rejection criteria (clash-free + DSSP-assigned strand state),
+    but all `max_tries` candidate dihedral draws are NERF-built in one
+    batched call and clash-checked vectorized; the O(L^2) DSSP-lite
+    evaluation runs only on clash-free candidates, in order, until one
+    passes. ~15x faster per block on the single-core host.
+    """
+    from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
+
+    if n_strands is None:
+        n_strands = 3 if (block_len - 4) % 3 == 0 and block_len >= 16 else 2
+    ns = (block_len - 2 * (n_strands - 1)) // n_strands
+    rem = block_len - (n_strands * ns + 2 * (n_strands - 1))
+    min_strand = 0.45 if n_strands != 3 else 0.5
+
+    T = max_tries
+    phis = np.zeros((T, block_len))
+    psis = np.zeros((T, block_len))
+    chars: List[str] = []
+    pos = 0
+    for k in range(n_strands):
+        nk = ns + (rem if k == n_strands - 1 else 0)
+        phis[:, pos : pos + nk] = rng.normal(-120.0, 6.0, (T, nk))
+        psis[:, pos : pos + nk] = rng.normal(121.0, 6.0, (T, nk))
+        chars += ["E"] * nk
+        pos += nk
+        if k < n_strands - 1:
+            phis[:, pos] = rng.normal(40.0, 8.0, T)
+            psis[:, pos] = rng.normal(-110.0, 12.0, T)
+            phis[:, pos + 1] = rng.normal(-95.0, 10.0, T)
+            psis[:, pos + 1] = rng.normal(15.0, 8.0, T)
+            chars += ["T", "T"]
+            pos += 2
+    ss_chars = "".join(chars)
+
+    a4 = build_backbones_batch(phis, psis)  # [T,L,4,3]
+    ca = a4[:, :, 1]
+    d = np.linalg.norm(ca[:, :, None] - ca[:, None, :], axis=-1)
+    iu = np.triu_indices(block_len, k=3)
+    minds = (
+        d[:, iu[0], iu[1]].min(-1) if len(iu[0]) else np.full(T, np.inf)
+    )
+
+    a37 = np.zeros((T, block_len, 37, 3), np.float32)
+    a37[:, :, _ATOM37_COLS] = a4
+    mask = np.zeros((block_len, 37), np.float32)
+    mask[:, _ATOM37_COLS] = 1.0
+
+    best = None
+    best_frac = -1.0
+    for t in range(T):
+        if minds[t] < 3.6:
+            continue
+        frac = ss_lib.ss_percentages(a37[t], mask)["strand_percent"]
+        if frac > best_frac:
+            best, best_frac = t, frac
+        if frac >= min_strand:
+            break
+    if best is None:  # no clash-free candidate: least-clashed fallback
+        best = int(np.argmax(minds))
+    return phis[best], psis[best], ss_chars
+
+
+def _topology_batch(
+    rng: np.random.RandomState,
+    lengths: np.ndarray,
+    n_pad: int,
+    ss_probs: Tuple[float, ...],
+    max_strands: int,
+    only: Optional[np.ndarray] = None,
+    prev: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+):
+    """Host-side per-chain dihedral topologies padded to n_pad.
+
+    With `only` (bool [B]) and `prev`, regenerates topologies just for
+    the flagged chains and reuses `prev` for the rest (retry economy).
+    """
+    B = len(lengths)
+    if prev is not None:
+        phis, psis, fixed = (x.copy() for x in prev)
+    else:
+        phis = np.zeros((B, n_pad))
+        psis = np.zeros((B, n_pad))
+        fixed = np.zeros((B, n_pad), bool)
+    for b, L in enumerate(lengths):
+        if only is not None and not only[b]:
+            continue
+        ph, ps, ss = syn.sample_dihedrals(
+            rng, int(L), ss_probs, max_strands,
+            sheet_sampler=sample_sheet_dihedrals_fast,
+        )
+        phis[b, :L], psis[b, :L] = ph, ps
+        ss_arr = np.frombuffer(ss.encode(), dtype="S1")
+        fixed[b, :L] = ss_arr != b"L"
+    return phis, psis, fixed
+
+
+def compact_structures_batch(
+    rng: np.random.RandomState,
+    lengths: np.ndarray,
+    ss_probs: Tuple[float, ...] = syn.DEFAULT_SS_PROBS,
+    max_strands: int = 3,
+    num_snapshots: int = 1,
+    tries: int = 3,
+    clash_dist: float = 3.2,
+    retry_frac: float = 0.1,
+    rg_slack: float = 1.3,
+) -> List[Tuple[List[np.ndarray], np.ndarray]]:
+    """Batch equivalent of `synthetic.sample_structure` for same-bucket
+    lengths. Returns per chain (snapshots list of atom37 [L,37,3], mask).
+
+    Retry semantics: a chain is satisfied when clash-free
+    (min CA dist >= 0.8*clash_dist) and Rg <= rg_slack*target (1.3 —
+    the original's 4-try best-of achieves a median final ratio of 1.26
+    on the shipped v5 set, so 1.15 would re-roll almost every chain).
+    Failed chains get fresh topologies and re-compaction (whole-batch
+    rerun, identical shapes, so no XLA recompiles) up to `tries` rounds
+    or until fewer than `retry_frac` of the batch is unsatisfied;
+    survivors ship their least-bad attempt, like the original's
+    fallback path.
+    """
+    import jax
+
+    B = len(lengths)
+    lengths = np.asarray(lengths, np.int64)
+    n_pad = int(max(64, int(np.ceil(lengths.max() / 32.0)) * 32))
+    target = (2.2 * lengths.astype(np.float64) ** 0.38).astype(np.float32)
+
+    best_snaps = [None] * B
+    best_key = np.full(B, -np.inf)  # score: clash margin, then -rg
+    satisfied = np.zeros(B, bool)
+
+    topo = None
+    for round_i in range(tries):
+        topo = _topology_batch(
+            rng, lengths, n_pad, ss_probs, max_strands,
+            only=None if round_i == 0 else ~satisfied,
+            prev=topo,
+        )
+        phis, psis, fixed = topo
+        a0 = build_backbones_batch(phis, psis)
+        movable = ~fixed
+        for b in range(B):
+            movable[b, lengths[b]:] = False
+            if not movable[b].any():  # all-fixed chain: give it one pivot
+                movable[b, 0] = True
+        key = jax.random.PRNGKey(int(rng.randint(0, 2**31 - 1)))
+        snaps, rg, cur_min = _compact_batch(
+            a0,
+            lengths.astype(np.int32),
+            movable,
+            target,
+            key,
+            num_snapshots=num_snapshots,
+            clash_dist=clash_dist,
+        )
+        for b in range(B):
+            if satisfied[b]:
+                continue
+            ok_clash = cur_min[b] >= 0.8 * clash_dist
+            ok_rg = rg[b] <= rg_slack * target[b]
+            # Rank attempts: clash-free beats clashed; then smaller Rg
+            # (clashed attempts rank by clash margin — the original's
+            # least-clashed fallback).
+            score = (
+                1e6 - rg[b] if ok_clash else float(cur_min[b])
+            )
+            if score > best_key[b]:
+                best_key[b] = score
+                best_snaps[b] = snaps[:, b]
+            if ok_clash and ok_rg:
+                satisfied[b] = True
+        n_bad = int((~satisfied).sum())
+        if n_bad <= retry_frac * B:
+            break
+
+    out = []
+    for b in range(B):
+        L = int(lengths[b])
+        chain_snaps = []
+        for s in range(num_snapshots):
+            a37 = np.zeros((L, 37, 3), np.float32)
+            a37[:, _ATOM37_COLS] = best_snaps[b][s, :L]
+            chain_snaps.append(a37)
+        mask = np.zeros((L, 37), np.float32)
+        mask[:, _ATOM37_COLS] = 1.0
+        out.append((chain_snaps, mask))
+    return out
+
+
+def generate_dataset_batch(
+    out_dir: str,
+    cfg: syn.CurriculumConfig = syn.CurriculumConfig(),
+    batch_size: int = 64,
+    long_frac: float = 0.0,
+    long_min: int = 320,
+    log_every: int = 200,
+) -> str:
+    """Batched drop-in for `synthetic.generate_dataset`.
+
+    Lengths are drawn from the same short-biased beta distribution, with
+    an optional `long_frac` mixture drawn uniformly from
+    [long_min, max_len] so the 384-512 regime the reference trains on
+    (`/root/reference/config/base.yaml:11`) is properly represented.
+    Chains are sorted by length and batched into tight buckets.
+    """
+    import pandas as pd
+
+    from se3_diffusion_tpu.data import utils as du
+    from se3_diffusion_tpu.evaluation import secondary_structure as ss_lib
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(cfg.seed)
+    lens = np.array(
+        [
+            _sample_mixed_length(rng, cfg.min_len, cfg.max_len, long_frac,
+                                 long_min)
+            for _ in range(cfg.num_topologies)
+        ]
+    )
+    order = np.argsort(lens)
+    rows = []
+    done_count = 0
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        results = compact_structures_batch(
+            rng,
+            lens[idx],
+            ss_probs=tuple(cfg.ss_probs),
+            max_strands=cfg.max_strands,
+            num_snapshots=cfg.snapshots_per_topology,
+        )
+        for j, (chain_snaps, mask) in zip(idx, results):
+            L = int(lens[j])
+            for si, atom37 in enumerate(chain_snaps):
+                name = f"syn{j:05d}_{si}"
+                du.write_pkl(
+                    os.path.join(out_dir, f"{name}.pkl"),
+                    {
+                        "atom_positions": atom37,
+                        "atom_mask": mask,
+                        "aatype": np.zeros(L, np.int32),
+                        "residue_index": np.arange(L, dtype=np.int32),
+                        "chain_index": np.zeros(L, np.int32),
+                        "b_factors": np.zeros((L, 37), np.float32),
+                    },
+                )
+                ss = ss_lib.ss_percentages(atom37, mask)
+                rows.append(
+                    {
+                        "pdb_name": name,
+                        "processed_path": f"{name}.pkl",
+                        "raw_path": "synthetic",
+                        "resolution": 0.0,
+                        "oligomeric_detail": "monomeric",
+                        "seq_len": L,
+                        "modeled_seq_len": L,
+                        "helix_percent": ss["helix_percent"],
+                        "strand_percent": ss["strand_percent"],
+                        "coil_percent": ss["coil_percent"],
+                        "radius_gyration": syn.radius_of_gyration(
+                            atom37[:, 1]
+                        ),
+                    }
+                )
+        done_count += len(idx)
+        if log_every and done_count % log_every < batch_size:
+            print(
+                f"synthetic batch curriculum: {done_count}/{len(order)}",
+                flush=True,
+            )
+        # Incremental csv so long generations are inspectable/resumable.
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, "metadata.csv"), index=False
+        )
+    csv_path = os.path.join(out_dir, "metadata.csv")
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    return csv_path
+
+
+def _sample_mixed_length(
+    rng: np.random.RandomState,
+    lo: int,
+    hi: int,
+    long_frac: float,
+    long_min: int,
+) -> int:
+    if long_frac > 0 and rng.rand() < long_frac:
+        return int(rng.randint(min(long_min, hi - 1), hi + 1))
+    return syn._sample_length(rng, lo, hi)

@@ -32,10 +32,16 @@ def initialize_distributed(
     # backend and the distributed service can no longer join the job.
     already = getattr(jax._src.distributed.global_state, "client", None)
     if explicit and already is None:
-        if num_processes is None:
-            num_processes = int(os.environ.get("NUM_PROCESSES", "1"))
-        if process_id is None:
-            process_id = int(os.environ.get("PROCESS_ID", "0"))
+        # Only read the env-var fallbacks when BOTH are present; otherwise
+        # pass None through so jax.distributed.initialize can auto-detect
+        # from the cluster environment (or fail loudly) instead of
+        # silently splitting the launch into independent rank-0 jobs.
+        env_np = os.environ.get("NUM_PROCESSES")
+        env_pid = os.environ.get("PROCESS_ID")
+        if num_processes is None and process_id is None:
+            if env_np is not None and env_pid is not None:
+                num_processes = int(env_np)
+                process_id = int(env_pid)
         jax.distributed.initialize(
             coordinator_address=explicit,
             num_processes=num_processes,

@@ -176,7 +176,10 @@ def make_atom14_dists_bounds(
             lower[restype, i, j] = lower[restype, j, i] = lo
             upper[restype, i, j] = upper[restype, j, i] = hi
             stddev[restype, i, j] = stddev[restype, j, i] = std
-    return {"lower_bound": lower, "upper_bound": upper, "stddev": stddev}
+    out = {"lower_bound": lower, "upper_bound": upper, "stddev": stddev}
+    for arr in out.values():  # lru_cached: freeze so callers can't poison
+        arr.flags.writeable = False
+    return out
 
 
 @functools.lru_cache(maxsize=1)
