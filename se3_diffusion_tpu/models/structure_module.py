@@ -89,15 +89,25 @@ class AF2InvariantPointAttention(nn.Module):
                 jnp.einsum("bnij,bnpj->bnpi", rot, pts) + trans[:, :, None, :]
             )
 
+        # Point channels are coordinate-major in the checkpoint layout:
+        # openfold splits [.., H*P*3] into thirds and stacks them as the
+        # xyz dim (`structure_module.py:280-283` "kind of clunky, but it's
+        # how the original does it") — NOT interleaved xyz triplets.
+        from se3_diffusion_tpu.models.ipa import _split_point_channels
+
         q_pts = lift(
-            Linear(h * pq * 3, dtype=dt, name="linear_q_points")(s)
-            .astype(jnp.float32)
-            .reshape(b, n, h * pq, 3)
+            _split_point_channels(
+                Linear(h * pq * 3, dtype=dt, name="linear_q_points")(s)
+                .astype(jnp.float32),
+                h * pq,
+            )
         ).reshape(b, n, h, pq, 3)
         kv_pts = lift(
-            Linear(h * (pq + pv) * 3, dtype=dt, name="linear_kv_points")(s)
-            .astype(jnp.float32)
-            .reshape(b, n, h * (pq + pv), 3)
+            _split_point_channels(
+                Linear(h * (pq + pv) * 3, dtype=dt, name="linear_kv_points")(s)
+                .astype(jnp.float32),
+                h * (pq + pv),
+            )
         ).reshape(b, n, h, pq + pv, 3)
         k_pts, v_pts = kv_pts[..., :pq, :], kv_pts[..., pq:, :]
 
@@ -130,8 +140,12 @@ class AF2InvariantPointAttention(nn.Module):
         )
         logits = logits - 0.5 * head_weights[None, :, None, None] * pt_att
 
+        # Additive mask bias (openfold inf=1e5 semantics): a fully-masked
+        # query row keeps a CONSTANT bias over keys, so its softmax still
+        # attends normally — `where`-masking would give uniform attention
+        # there and break checkpoint parity at masked positions.
         mask2d = mask[:, None, :, None] * mask[:, None, None, :]
-        logits = jnp.where(mask2d > 0.5, logits, -1e9)
+        logits = logits + 1e5 * (mask2d - 1.0)
         a = jax.nn.softmax(logits, axis=-1)  # [B, H, Q, K] fp32
 
         o = jnp.einsum("bhqk,bkhc->bqhc", a.astype(v.dtype), v).reshape(
@@ -147,10 +161,17 @@ class AF2InvariantPointAttention(nn.Module):
             jnp.sum(o_pt_local**2, axis=-1) + self.cfg.epsilon
         )
         o_pair = jnp.einsum("bhqk,bqkc->bqhc", a.astype(z.dtype), z)
+        # Checkpoint-layout concat: o_pt enters linear_out as three
+        # coordinate blocks (x, y, z), each [H*P_v] h-major — openfold
+        # unbinds the xyz dim before concatenating
+        # (`structure_module.py:420-424`).
+        o_pt_flat = o_pt_local.reshape(b, n, h * pv, 3)
         concat = jnp.concatenate(
             [
                 o,
-                o_pt_local.reshape(b, n, h * pv * 3).astype(dt),
+                o_pt_flat[..., 0].astype(dt),
+                o_pt_flat[..., 1].astype(dt),
+                o_pt_flat[..., 2].astype(dt),
                 o_pt_norm.reshape(b, n, h * pv).astype(dt),
                 o_pair.reshape(b, n, h * self.cfg.c_z),
             ],
