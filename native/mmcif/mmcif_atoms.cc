@@ -69,9 +69,10 @@ long parse_atom_rows(
     const char* text, long text_len, int ncols,
     int col_group, int col_atom, int col_comp, int col_chain, int col_seq,
     int col_x, int col_y, int col_z, int col_b, int col_alt, int col_model,
+    int col_icode,
     // outputs
     int32_t* chain_ids,   // hashed chain id (first 4 chars packed)
-    int32_t* res_seq,
+    int32_t* res_seq,     // encoded auth_seq*64 + icode rank (see below)
     int8_t* atom_idx,
     int8_t* aatype,
     float* xyz,           // [n, 3]
@@ -149,8 +150,20 @@ long parse_atom_rows(
       return static_cast<int32_t>(std::strtol(buf, nullptr, 10));
     };
 
+    // Insertion code -> rank in [0, 63): '.'/'?'/'' = 0 (no insertion),
+    // 'A'..'Z' = 1..26, 'a'..'z' = 27..52. Encoding seq*64 + rank keeps
+    // (seq, icode) lexicographic order under integer sort — also for
+    // negative auth_seq_id — so insertion-coded residues stay distinct
+    // and ordered (base residue first: 100 < 100A < 100B < 101).
+    int32_t icode_rank = 0;
+    if (col_icode >= 0 && toks[col_icode].len == 1) {
+      char c = toks[col_icode].p[0];
+      if (c >= 'A' && c <= 'Z') icode_rank = c - 'A' + 1;
+      else if (c >= 'a' && c <= 'z') icode_rank = c - 'a' + 27;
+    }
+
     chain_ids[count] = cid;
-    res_seq[count] = to_i(toks[col_seq]);
+    res_seq[count] = to_i(toks[col_seq]) * 64 + icode_rank;
     atom_idx[count] = ait->second;
     aatype[count] = aa;
     xyz[count * 3 + 0] = to_f(toks[col_x]);

@@ -218,6 +218,15 @@ def parse_mmcif_string(text: str, use_native: bool = True) -> ParsedMmcif:
                 seq = int(get(row, "auth_seq_id", get(row, "label_seq_id")))
             except ValueError:
                 continue
+            # Insertion codes: residues sharing auth_seq_id but carrying
+            # distinct pdbx_PDB_ins_code are SEPARATE residues (antibody
+            # chothia numbering etc.). Biopython keys residues by
+            # (resseq, icode) and the reference keeps them
+            # (`/root/reference/data/parsers.py:19-21` explicitly allows
+            # insertions); keying by seq alone would merge their atoms.
+            icode = get(row, "pdbx_PDB_ins_code", ".")
+            if icode in (".", "?", ""):
+                icode = ""
             x = float(get(row, "Cartn_x"))
             y = float(get(row, "Cartn_y"))
             z = float(get(row, "Cartn_z"))
@@ -226,7 +235,7 @@ def parse_mmcif_string(text: str, use_native: bool = True) -> ParsedMmcif:
             except ValueError:
                 b = 0.0
             res = chains.setdefault(chain_id, {}).setdefault(
-                seq,
+                (seq, icode),
                 {
                     "name": res_name,
                     "pos": np.zeros((rc.ATOM_TYPE_NUM, 3), np.float32),
@@ -242,10 +251,16 @@ def parse_mmcif_string(text: str, use_native: bool = True) -> ParsedMmcif:
 
     parsed_chains = {}
     for chain_id, residues in chains.items():
+        # (seq, icode) sort puts the base residue ('' icode) before its
+        # insertions (100 < 100A < 100B < 101) — PDB convention, and the
+        # order Biopython hands the reference.
         seqs = sorted(residues)
         aatype, pos, mask, bfac, ridx = [], [], [], [], []
         for s in seqs:
             r = residues[s]
+            s = s[0]  # residue_index = auth_seq_id, duplicated across
+            # insertion-coded residues (reference `parsers.py:53` uses
+            # res.id[1] the same way).
             one = rc.RESTYPE_3TO1.get(r["name"], "X")
             # Selenomethionine maps to MET; anything unknown to UNK (20).
             aa = (

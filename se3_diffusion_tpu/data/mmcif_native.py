@@ -43,6 +43,7 @@ _FIELDS = {
     "B_iso_or_equiv": "col_b",
     "label_alt_id": "col_alt",
     "pdbx_PDB_model_num": "col_model",
+    "pdbx_PDB_ins_code": "col_icode",
 }
 
 
@@ -76,7 +77,7 @@ def _load():
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
             f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
             lib.parse_atom_rows.argtypes = (
-                [ctypes.c_char_p, ctypes.c_long] + [ctypes.c_int] * 12
+                [ctypes.c_char_p, ctypes.c_long] + [ctypes.c_int] * 13
                 + [i32p, i32p, i8p, i8p, f32p, f32p]
             )
             lib.parse_atom_rows.restype = ctypes.c_long
@@ -143,7 +144,7 @@ def parse_atoms_fast(text: str):
         row_text, len(row_text), len(headers),
         cols["col_group"], col_atom, col_comp, col_chain, col_seq,
         cols["col_x"], cols["col_y"], cols["col_z"], cols["col_b"],
-        cols["col_alt"], cols["col_model"],
+        cols["col_alt"], cols["col_model"], cols["col_icode"],
         chain_ids, res_seq, atom_idx, aatype, xyz, bfac,
     )
     if n < 0:
@@ -163,6 +164,10 @@ def parse_atoms_fast(text: str):
 
     for cid in np.unique(chain_ids):
         sel = chain_ids == cid
+        # res_seq is auth_seq*64 + icode_rank (see mmcif_atoms.cc):
+        # insertion-coded residues stay distinct and (seq, icode)-ordered;
+        # residue_index decodes back to the auth number (duplicated across
+        # insertions, like the reference's `parsers.py:53` res.id[1]).
         seqs = res_seq[sel]
         uniq_seqs, inverse = np.unique(seqs, return_inverse=True)
         n_res = len(uniq_seqs)
@@ -186,6 +191,6 @@ def parse_atoms_fast(text: str):
             "atom_positions": pos,
             "atom_mask": mask,
             "b_factors": b,
-            "residue_index": uniq_seqs.astype(np.int32),
+            "residue_index": np.floor_divide(uniq_seqs, 64).astype(np.int32),
         }
     return chains, (start, end)

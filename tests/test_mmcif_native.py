@@ -52,3 +52,111 @@ def test_speedup_on_large_chain():
     t_nat = time.perf_counter() - t0
     # The native path should be clearly faster on atom-heavy files.
     assert t_nat < t_py, (t_nat, t_py)
+
+
+# --- hostile-fixture differential tests (VERDICT r3 missing #5) -------------
+# Expectations follow the reference's Biopython-inherited semantics
+# (`/root/reference/data/mmcif_parsing.py:34-60`, `data/parsers.py:19-21,53`):
+# insertion-coded residues are distinct, (seq, icode)-ordered, and share the
+# auth residue number in residue_index.
+
+INS_HEADER = """data_TEST
+_entry.id TEST
+_refine.ls_d_res_high 2.0
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.pdbx_PDB_ins_code
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.B_iso_or_equiv
+_atom_site.label_alt_id
+_atom_site.pdbx_PDB_model_num
+"""
+
+
+def _row(serial, atom, res, chain, seq, icode, x, alt=".", model=1):
+    return (
+        f"ATOM {serial} {atom} {res} {chain} {seq} {icode} "
+        f"{x:.3f} 0.000 0.000 10.0 {alt} {model}\n"
+    )
+
+
+def _both(text):
+    fast = mmcif.parse_mmcif_string(text, use_native=True)
+    slow = mmcif.parse_mmcif_string(text, use_native=False)
+    return fast, slow
+
+
+def test_insertion_codes_kept_distinct_and_ordered():
+    # File order deliberately scrambled: 100B, 100, 101, 100A.
+    text = INS_HEADER
+    text += _row(1, "CA", "SER", "A", 100, "B", 3.0)
+    text += _row(2, "CA", "ALA", "A", 100, ".", 1.0)
+    text += _row(3, "CA", "ALA", "A", 101, "?", 4.0)
+    text += _row(4, "CA", "GLY", "A", 100, "A", 2.0)
+    for parsed in _both(text):
+        ch = parsed.chains["A"]
+        # 4 distinct residues: merging any pair would corrupt atoms.
+        assert ch.atom_positions.shape[0] == 4
+        # (seq, icode) order: 100 < 100A < 100B < 101.
+        np.testing.assert_allclose(
+            ch.atom_positions[:, 1, 0], [1.0, 2.0, 3.0, 4.0]
+        )
+        # residue_index repeats the auth number across insertions.
+        np.testing.assert_array_equal(
+            ch.residue_index, [100, 100, 100, 101]
+        )
+        # aatype follows each residue's own comp_id (A=0, G=7, S=15).
+        np.testing.assert_array_equal(ch.aatype, [0, 7, 15, 0])
+
+
+def test_negative_auth_seq_id():
+    text = INS_HEADER
+    text += _row(1, "CA", "ALA", "A", 1, ".", 4.0)
+    text += _row(2, "CA", "ALA", "A", -2, ".", 1.0)
+    text += _row(3, "CA", "ALA", "A", 0, ".", 3.0)
+    text += _row(4, "CA", "GLY", "A", -1, "A", 2.0)  # icode on negative seq
+    for parsed in _both(text):
+        ch = parsed.chains["A"]
+        np.testing.assert_array_equal(ch.residue_index, [-2, -1, 0, 1])
+        np.testing.assert_allclose(
+            ch.atom_positions[:, 1, 0], [1.0, 2.0, 3.0, 4.0]
+        )
+
+
+def test_multi_model_keeps_first_model():
+    text = INS_HEADER
+    text += _row(1, "CA", "ALA", "A", 1, ".", 1.0, model=1)
+    text += _row(2, "CA", "ALA", "A", 2, ".", 2.0, model=1)
+    text += _row(3, "CA", "ALA", "A", 1, ".", 9.0, model=2)
+    text += _row(4, "CA", "ALA", "A", 2, ".", 9.0, model=2)
+    for parsed in _both(text):
+        ch = parsed.chains["A"]
+        assert ch.atom_positions.shape[0] == 2
+        np.testing.assert_allclose(ch.atom_positions[:, 1, 0], [1.0, 2.0])
+
+
+def test_chain_spanning_altlocs():
+    # Altloc A kept on both chains, altloc B dropped on both; '.' rows
+    # unaffected. The same residue's '.'-altloc N atom must still merge
+    # with its A-altloc CA.
+    text = INS_HEADER
+    text += _row(1, "N", "ALA", "A", 1, ".", 1.0, alt=".")
+    text += _row(2, "CA", "ALA", "A", 1, ".", 1.5, alt="A")
+    text += _row(3, "CA", "ALA", "A", 1, ".", 7.0, alt="B")  # dropped
+    text += _row(4, "CA", "ALA", "B", 1, ".", 2.5, alt="A")
+    text += _row(5, "CA", "ALA", "B", 1, ".", 8.0, alt="B")  # dropped
+    for parsed in _both(text):
+        a, b = parsed.chains["A"], parsed.chains["B"]
+        assert a.atom_positions.shape[0] == 1
+        assert b.atom_positions.shape[0] == 1
+        assert a.atom_mask[0, 0] == 1.0 and a.atom_mask[0, 1] == 1.0
+        np.testing.assert_allclose(a.atom_positions[0, 0, 0], 1.0)
+        np.testing.assert_allclose(a.atom_positions[0, 1, 0], 1.5)
+        np.testing.assert_allclose(b.atom_positions[0, 1, 0], 2.5)
