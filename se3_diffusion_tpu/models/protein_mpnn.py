@@ -269,10 +269,20 @@ class ProteinMPNN(nn.Module):
         return mask_1d * mask_attend, mask_1d * (1.0 - mask_attend)
 
     def decoder_logits(
-        self, h_v_enc, h_e, e_idx, mask, seq, decoding_order
+        self, h_v_enc, h_e, e_idx, mask, seq, decoding_order,
+        seq_valid=None,
     ):
-        """Runs the full decoder stack under the order mask; [B, N, 21]."""
+        """Runs the full decoder stack under the order mask; [B, N, 21].
+
+        `seq_valid` [B, N] zeroes the sequence embedding of not-yet-
+        committed positions (the reference keeps h_S = 0 until a token is
+        scattered, `protein_mpnn_utils.py:1168`). Only observable for
+        tied sampling: a tied group's later members are order-visible to
+        each other before any of them is committed.
+        """
         h_s = self.w_s(seq)
+        if seq_valid is not None:
+            h_s = h_s * seq_valid[..., None].astype(h_s.dtype)
         h_es = jnp.concatenate([h_e, gather_nodes(h_s, e_idx)], axis=-1)
         zeros = jnp.zeros_like(h_s)
         h_ex_encoder = jnp.concatenate([h_e, gather_nodes(zeros, e_idx)], axis=-1)
@@ -303,7 +313,29 @@ def random_decoding_order(key: jax.Array, mask: Array) -> Array:
     return jnp.argsort((mask + 1e-4) * noise, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "temperature"))
+def _tie_contiguous_order(decoding_order: Array, tie_rep: Array) -> Array:
+    """Reorders a decoding order so tied groups decode contiguously.
+
+    `tie_rep[i]` is the representative position index of i's tie group
+    (i itself when untied). Groups are placed at the rank of their
+    earliest member, preserving within-group relative order — the same
+    reordering the reference builds in python
+    (`protein_mpnn_utils.py:1189-1196` tied_sample new_decoding_order).
+    """
+    b, n = decoding_order.shape
+    ranks = jnp.argsort(decoding_order, axis=-1)  # position -> rank
+    group_min = jax.vmap(
+        lambda r: jax.ops.segment_min(r, tie_rep, num_segments=n)
+    )(ranks)  # [B, n] min rank per group id (rep position)
+    group_rank = jnp.take_along_axis(
+        group_min, jnp.broadcast_to(tie_rep[None], (b, n)), axis=-1
+    )
+    return jnp.argsort(group_rank * n + ranks, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "temperature", "omit_x")
+)
 def sample_sequences(
     model: ProteinMPNN,
     params,
@@ -316,13 +348,39 @@ def sample_sequences(
     omit_x: bool = True,
     fixed_mask: Array | None = None,
     input_seq: Array | None = None,
+    bias_aa: Array | None = None,
+    bias_by_res: Array | None = None,
+    omit_aa: Array | None = None,
+    omit_aa_mask: Array | None = None,
+    tie_rep: Array | None = None,
+    tied_beta: Array | None = None,
+    decoding_order: Array | None = None,
 ) -> Dict[str, Array]:
     """Autoregressive sampling. Returns {'seq': [B, N], 'log_probs': ...}.
+
+    Sampling options mirror the reference `ProteinMPNN.sample` /
+    `tied_sample` kwargs (`protein_mpnn_utils.py:1083,1175`):
+
+    * ``bias_aa`` [21]: global per-AA bias, applied as ``bias/temperature``
+      inside the softmax (reference ``bias_AAs_np``).
+    * ``bias_by_res`` [B, N, 21]: per-residue bias, also ``/temperature``.
+    * ``omit_aa`` [21] 0/1: globally banned letters; -1e8 logit penalty NOT
+      divided by temperature (reference ``omit_AAs_np`` semantics).
+    * ``omit_aa_mask`` [B, N, 21] 0/1: per-position bans. The reference
+      zeroes+renormalizes probs; adding -1e8 to the logits is the same
+      distribution.
+    * ``tie_rep`` [N] int32 + ``tied_beta`` [N]: tied positions (homo-
+      oligomer design). ``tie_rep[i]`` names i's group representative;
+      group logits are the tied_beta-weighted sum over members, one token
+      is drawn and committed to every member, and the decoding order is
+      rearranged so groups decode contiguously (reference ``tied_sample``).
+    * ``decoding_order`` [B, N]: explicit order override (reference
+      ``randn`` argument); default draws the same argsort-noise order.
 
     fixed_mask/input_seq implement partial redesign (the reference CLI's
     fixed-positions feature): fixed positions keep their input token and
     decode first, so every redesigned position conditions on them — the
-    same ordering trick as the reference's chain_M argsort (:1063).
+    same ordering trick as the reference's chain_M argsort (:1099).
 
     Each scan step recomputes the decoder at full width and commits the
     active position (see module docstring for why this is the right TPU
@@ -333,42 +391,72 @@ def sample_sequences(
     design_mask = mask
     if fixed_mask is not None:
         design_mask = mask * (1.0 - fixed_mask)
-    decoding_order = random_decoding_order(key_order, design_mask)
+    if decoding_order is None:
+        decoding_order = random_decoding_order(key_order, design_mask)
+    if tie_rep is not None:
+        decoding_order = _tie_contiguous_order(decoding_order, tie_rep)
 
     def apply_encode(p, *a):
         return model.apply({"params": p}, *a, method=ProteinMPNN.encode)
 
     h_v, h_e, e_idx = apply_encode(params, x, mask, residue_idx, chain_labels)
 
-    bias = jnp.zeros((model.cfg.num_letters,))
+    gbias = jnp.zeros((model.cfg.num_letters,))
     if omit_x:
-        bias = bias.at[MPNN_ALPHABET.index("X")].set(-1e9)
+        gbias = gbias.at[MPNN_ALPHABET.index("X")].set(-1e9)
+    if omit_aa is not None:
+        gbias = gbias + omit_aa * -1e8
+    if bias_aa is not None:
+        gbias = gbias + bias_aa / temperature
 
     def step(carry, t):
-        seq, k = carry
+        seq, committed, k = carry
         k, sub = jax.random.split(k)
         logits = model.apply(
             {"params": params},
             h_v, h_e, e_idx, mask, seq, decoding_order,
+            committed.astype(jnp.float32),
             method=ProteinMPNN.decoder_logits,
         )
         pos = decoding_order[:, t]  # [B]
-        pos_logits = jnp.take_along_axis(
-            logits, pos[:, None, None].repeat(logits.shape[-1], -1), axis=1
-        )[:, 0]
-        pos_logits = pos_logits / temperature + bias
+
+        def take_pos(arr):  # [B, N, C] -> [B, C] at pos
+            return jnp.take_along_axis(
+                arr, pos[:, None, None].repeat(arr.shape[-1], -1), axis=1
+            )[:, 0]
+
+        if tie_rep is not None:
+            rep = tie_rep[pos]  # [B] group id of the active position
+            group = tie_rep[None, :] == rep[:, None]  # [B, N]
+            beta = jnp.ones(n) if tied_beta is None else tied_beta
+            pos_logits = jnp.einsum(
+                "bnc,bn->bc", logits, group * beta[None, :]
+            )
+        else:
+            group = jax.nn.one_hot(pos, n, dtype=jnp.bool_)
+            pos_logits = take_pos(logits)
+        pos_logits = pos_logits / temperature + gbias
+        if bias_by_res is not None:
+            pos_logits = pos_logits + take_pos(bias_by_res) / temperature
+        if omit_aa_mask is not None:
+            pos_logits = pos_logits + take_pos(omit_aa_mask) * -1e8
         tok = jax.random.categorical(sub, pos_logits, axis=-1)
+
+        active = ~jnp.take_along_axis(committed, pos[:, None], axis=1)[:, 0]
+        write = group & active[:, None]
         if fixed_mask is not None:
-            keep = jnp.take_along_axis(fixed_mask, pos[:, None], axis=1)[:, 0]
-            prev = jnp.take_along_axis(seq, pos[:, None], axis=1)[:, 0]
-            tok = jnp.where(keep > 0.5, prev, tok)
-        seq = seq.at[jnp.arange(b), pos].set(tok)
-        return (seq, k), None
+            write = write & (fixed_mask < 0.5)
+        seq = jnp.where(write, tok[:, None], seq)
+        committed = committed | (group & active[:, None])
+        return (seq, committed, k), None
 
     seq0 = (
         jnp.zeros((b, n), jnp.int32) if input_seq is None else input_seq
     )
-    (seq, _), _ = jax.lax.scan(step, (seq0, key_scan), jnp.arange(n))
+    committed0 = jnp.zeros((b, n), bool)
+    (seq, _, _), _ = jax.lax.scan(
+        step, (seq0, committed0, key_scan), jnp.arange(n)
+    )
 
     log_probs = model.apply(
         {"params": params}, x, seq, mask, residue_idx, chain_labels, decoding_order

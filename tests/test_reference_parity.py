@@ -741,3 +741,195 @@ def test_protein_mpnn_logits_parity(ref):
     np.testing.assert_allclose(
         ours[valid], ref_lp[valid], atol=2e-4, rtol=1e-3
     )
+
+
+def _mpnn_pair(ref, seed=7, k=24):
+    """Random-init reference ProteinMPNN + converted flax params."""
+    from se3_diffusion_tpu.interop.mpnn_convert import convert_mpnn_state_dict
+    from se3_diffusion_tpu.models.protein_mpnn import MPNNConfig, ProteinMPNN
+
+    cfg = MPNNConfig(k_neighbors=k, augment_eps=0.0)
+    torch.manual_seed(seed)
+    ref_model = ref.mpnn.ProteinMPNN(
+        num_letters=cfg.num_letters, node_features=cfg.node_features,
+        edge_features=cfg.edge_features, hidden_dim=cfg.hidden_dim,
+        num_encoder_layers=cfg.num_encoder_layers,
+        num_decoder_layers=cfg.num_decoder_layers,
+        k_neighbors=cfg.k_neighbors, augment_eps=0.0, dropout=0.0,
+    )
+    ref_model.eval()
+    params = convert_mpnn_state_dict(ref_model.state_dict(), cfg)
+    return cfg, ref_model, ProteinMPNN(cfg), params
+
+
+def _mpnn_inputs(rng, b, n):
+    x = np.cumsum(rng.normal(size=(b, n, 1, 3)), axis=1) + rng.normal(
+        size=(b, n, 4, 3)
+    )
+    return {
+        "x": x.astype(np.float32),
+        "mask": np.ones((b, n), np.float32),
+        "residue_idx": np.tile(np.arange(n)[None], (b, 1)),
+        "chain_labels": np.zeros((b, n), np.int64),
+    }
+
+
+def test_protein_mpnn_sample_bias_omit_parity(ref):
+    """Low-temperature sampling with global bias-AA + omit-AA must produce
+    the exact sequence the reference `sample` produces
+    (`protein_mpnn_utils.py:1083-1170`): at T=1e-3 both samplers reduce to
+    argmax(logits + bias_aa + bias_by_res) over non-omitted letters, so any
+    operator-ordering or bias-scaling mismatch flips tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import (
+        MPNN_ALPHABET,
+        sample_sequences,
+    )
+
+    cfg, ref_model, model, params = _mpnn_pair(ref)
+    rng = np.random.default_rng(5)
+    b, n = 2, 36
+    inp = _mpnn_inputs(rng, b, n)
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    order = np.argsort((inp["mask"] + 1e-4) * np.abs(randn), axis=-1)
+
+    bias_aa = (0.5 * rng.normal(size=21)).astype(np.float32)
+    bias_by_res = (0.5 * rng.normal(size=(b, n, 21))).astype(np.float32)
+    omit = np.zeros(21, np.float32)
+    for letter in "CWX":
+        omit[MPNN_ALPHABET.index(letter)] = 1.0
+    temp = 1e-3
+
+    with torch.no_grad():
+        got_ref = ref_model.sample(
+            torch.tensor(inp["x"]), torch.tensor(randn),
+            torch.zeros(b, n, dtype=torch.long),
+            torch.tensor(inp["mask"]),
+            torch.tensor(inp["chain_labels"]),
+            torch.tensor(inp["residue_idx"]),
+            mask=torch.tensor(inp["mask"]), temperature=temp,
+            omit_AAs_np=omit, bias_AAs_np=bias_aa,
+            chain_M_pos=torch.tensor(inp["mask"]),
+            omit_AA_mask=None, pssm_coef=None, pssm_bias=None,
+            pssm_multi=None, pssm_log_odds_flag=False,
+            pssm_log_odds_mask=None, pssm_bias_flag=False,
+            bias_by_res=torch.tensor(bias_by_res),
+        )
+
+    out = sample_sequences(
+        model, params, jax.random.PRNGKey(0),
+        jnp.asarray(inp["x"]), jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["residue_idx"]), jnp.asarray(inp["chain_labels"]),
+        temperature=temp, omit_x=False,
+        bias_aa=jnp.asarray(bias_aa), bias_by_res=jnp.asarray(bias_by_res),
+        omit_aa=jnp.asarray(omit),
+        decoding_order=jnp.asarray(order),
+    )
+    ours = np.asarray(out["seq"])
+    theirs = got_ref["S"].numpy()
+    np.testing.assert_array_equal(ours, theirs)
+    assert not np.isin(ours, [MPNN_ALPHABET.index(c) for c in "CWX"]).any()
+
+
+def test_protein_mpnn_tied_sample_parity(ref):
+    """Tied-position sampling must match the reference `tied_sample`
+    (`protein_mpnn_utils.py:1175-1280`) exactly at low temperature: same
+    group-contiguous decoding order, same summed group logits, same token
+    committed to every member."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import sample_sequences
+
+    cfg, ref_model, model, params = _mpnn_pair(ref, seed=9)
+    rng = np.random.default_rng(11)
+    b, n = 1, 30
+    inp = _mpnn_inputs(rng, b, n)
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    base_order = np.argsort((inp["mask"] + 1e-4) * np.abs(randn), axis=-1)
+
+    groups = [[3, 17, 24], [5, 9]]
+    # Within-group processing order: the reference walks each tied_pos
+    # list as given; our sampler keeps base-rank order. Present the lists
+    # base-rank-ordered so both walks coincide.
+    rank = np.argsort(base_order[0])
+    groups = [sorted(g, key=lambda p: rank[p]) for g in groups]
+    tie_rep = np.arange(n, dtype=np.int32)
+    for g in groups:
+        for p in g:
+            tie_rep[p] = min(g)
+    tied_beta = np.ones(n, np.float32)
+    temp = 1e-3
+
+    with torch.no_grad():
+        got_ref = ref_model.tied_sample(
+            torch.tensor(inp["x"]), torch.tensor(randn),
+            torch.zeros(b, n, dtype=torch.long),
+            torch.tensor(inp["mask"]),
+            torch.tensor(inp["chain_labels"]),
+            torch.tensor(inp["residue_idx"]),
+            mask=torch.tensor(inp["mask"]), temperature=temp,
+            omit_AAs_np=np.zeros(21, np.float32),
+            bias_AAs_np=np.zeros(21, np.float32),
+            chain_M_pos=torch.tensor(inp["mask"]),
+            omit_AA_mask=None, pssm_coef=None, pssm_bias=None,
+            pssm_multi=None, pssm_log_odds_flag=False,
+            pssm_log_odds_mask=None, pssm_bias_flag=False,
+            tied_pos=groups, tied_beta=torch.tensor(tied_beta),
+            bias_by_res=torch.zeros(b, n, 21),
+        )
+
+    out = sample_sequences(
+        model, params, jax.random.PRNGKey(0),
+        jnp.asarray(inp["x"]), jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["residue_idx"]), jnp.asarray(inp["chain_labels"]),
+        temperature=temp, omit_x=False,
+        tie_rep=jnp.asarray(tie_rep), tied_beta=jnp.asarray(tied_beta),
+        decoding_order=jnp.asarray(base_order),
+    )
+    ours = np.asarray(out["seq"])
+    theirs = got_ref["S"].numpy()
+    for g in groups:  # every member shares one token
+        assert len(set(ours[0, p] for p in g)) == 1
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_protein_mpnn_per_position_omit():
+    """omit_aa_mask bans letters at specific positions only (additive
+    -1e8 == the reference's zero+renormalize, `protein_mpnn_utils.py:1160`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import (
+        MPNNConfig,
+        ProteinMPNN,
+        sample_sequences,
+    )
+
+    cfg = MPNNConfig(k_neighbors=12, augment_eps=0.0)
+    model = ProteinMPNN(cfg)
+    rng = np.random.default_rng(3)
+    b, n = 2, 20
+    inp = _mpnn_inputs(rng, b, n)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(inp["x"]),
+        jnp.zeros((b, n), jnp.int32), jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["residue_idx"]), jnp.asarray(inp["chain_labels"]),
+        jnp.tile(jnp.arange(n)[None], (b, 1)),
+    )["params"]
+
+    omit_mask = np.zeros((b, n, 21), np.float32)
+    banned_positions = [0, 5, 11]
+    omit_mask[:, banned_positions, :10] = 1.0  # ban letters 0..9 there
+    out = sample_sequences(
+        model, params, jax.random.PRNGKey(1),
+        jnp.asarray(inp["x"]), jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["residue_idx"]), jnp.asarray(inp["chain_labels"]),
+        temperature=1.0, omit_aa_mask=jnp.asarray(omit_mask),
+    )
+    seq = np.asarray(out["seq"])
+    assert (seq[:, banned_positions] >= 10).all()
+    # Un-banned positions still explore the full alphabet head.
+    assert (seq < 10).any()
