@@ -19,11 +19,18 @@ LATEST=$(ls "${CKPT_DIR}" | grep -E '^[0-9]+$' | sort -n | tail -1)
 echo "latest checkpoint: ${CKPT_DIR}/${LATEST}"
 
 OUT="results/${RUN}_sweep"
+# Length grid: override for runs trained past 256 (the v6 curriculum
+# goes to 512, the reference samples to 500 — inference.yaml:18-24).
+MIN_LEN=${SWEEP_MIN_LEN:-64}
+MAX_LEN=${SWEEP_MAX_LEN:-256}
+LEN_STEP=${SWEEP_LEN_STEP:-16}
+SAMPLES=${SWEEP_SAMPLES:-8}
 python scripts/sample.py \
     --config "${CONFIG}" \
     --weights "${CKPT_DIR}" \
-    --min_length 64 --max_length 256 --length_step 16 \
-    --samples_per_length 8 \
+    --min_length "${MIN_LEN}" --max_length "${MAX_LEN}" \
+    --length_step "${LEN_STEP}" \
+    --samples_per_length "${SAMPLES}" \
     --output_dir "${OUT}"
 
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/report_training.py \
