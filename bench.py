@@ -200,6 +200,8 @@ def main():
         for fn, label in (
             (lambda: time_sampler(model, params, diffuser, 100, batch, num_t),
              "sampler_len100"),
+            (lambda: time_sampler(model, params, diffuser, 500, batch, num_t),
+             "sampler_len500"),
             (lambda: time_train_step(cfg, diffuser), "train_step"),
             (lambda: time_ipa(cfg), "ipa"),
         ):

@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 from se3_diffusion_tpu.data import synthetic as syn
+from se3_diffusion_tpu.data import synthetic_batch as sb
 
 
 class TestBackboneBuilder:
@@ -148,3 +149,84 @@ class TestGenerateDataset:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestBatchedGenerator:
+    """data/synthetic_batch.py — the XLA-batched pivot-MC generator."""
+
+    def test_batched_nerf_matches_single(self):
+        rng = np.random.RandomState(0)
+        phis = rng.uniform(-180, 180, (3, 20))
+        psis = rng.uniform(-180, 180, (3, 20))
+        batched = sb.build_backbones_batch(phis, psis)
+        for b in range(3):
+            a37, _ = syn.build_backbone_from_dihedrals(phis[b], psis[b])
+            np.testing.assert_allclose(
+                batched[b], a37[:, [0, 1, 2, 4]], atol=1e-3
+            )
+
+    def test_compact_batch_geometry_and_rg(self):
+        """Compaction must preserve bond geometry exactly (pivots are
+        rigid rotations) and pull Rg toward the target."""
+        rng = np.random.RandomState(1)
+        lens = np.array([64, 80, 96, 128])  # curriculum domain (min_len 60)
+        res = sb.compact_structures_batch(rng, lens, num_snapshots=2)
+        assert len(res) == len(lens)
+        for (snaps, mask), L in zip(res, lens):
+            assert len(snaps) == 2
+            a37 = snaps[-1]
+            assert a37.shape == (L, 37, 3)
+            np.testing.assert_array_equal(
+                mask[:, [0, 1, 2, 4]], np.ones((L, 4))
+            )
+            ca = a37[:, 1]
+            d = np.linalg.norm(ca[1:] - ca[:-1], axis=-1)
+            assert (np.abs(d - 3.8) < 0.3).all(), d
+            target = 2.2 * float(L) ** 0.38
+            assert syn.radius_of_gyration(ca) < 2.0 * target
+            # clash rule: no non-local CA pair below the floor
+            assert syn.min_nonlocal_ca_dist(ca, 3) > 0.8 * 3.2 * 0.9
+
+    def test_mixed_length_bucket_padding(self):
+        """Chains of different lengths in one batch stay independent:
+        padded tail slots must not perturb the real residues."""
+        rng = np.random.RandomState(2)
+        res = sb.compact_structures_batch(
+            rng, np.array([40, 72]), num_snapshots=1
+        )
+        for (snaps, _), L in zip(res, (40, 72)):
+            assert snaps[0].shape[0] == L
+            assert np.isfinite(snaps[0]).all()
+
+    def test_generate_dataset_batch_contract(self, tmp_path):
+        """Same .pkl + metadata.csv contract as the single-chain path
+        (reference `data/process_pdb_dataset.py:97-235`)."""
+        import pandas as pd
+
+        cfg = syn.CurriculumConfig(
+            num_topologies=6, snapshots_per_topology=2, min_len=40,
+            max_len=64, seed=3,
+        )
+        csv = sb.generate_dataset_batch(
+            str(tmp_path), cfg, batch_size=4, long_frac=0.5, long_min=56
+        )
+        df = pd.read_csv(csv)
+        assert len(df) == 12  # 6 topologies x 2 snapshots
+        for col in ("pdb_name", "processed_path", "seq_len",
+                    "helix_percent", "strand_percent", "radius_gyration"):
+            assert col in df.columns
+        from se3_diffusion_tpu.data import utils as du
+
+        row = df.iloc[0]
+        feats = du.read_pkl(str(tmp_path / row.processed_path))
+        assert feats["atom_positions"].shape == (row.seq_len, 37, 3)
+        # long_frac mixture reaches the [long_min, max_len] band
+        assert (df.seq_len >= 56).any()
+
+    def test_fast_sheet_sampler_produces_strands(self):
+        rng = np.random.RandomState(4)
+        phis, psis, chars = sb.sample_sheet_dihedrals_fast(rng, 20)
+        assert len(phis) == len(psis) == len(chars) == 20
+        assert chars.count("E") >= 12
+        a37, _ = syn.build_backbone_from_dihedrals(phis, psis)
+        assert np.isfinite(a37).all()
