@@ -46,6 +46,12 @@ def main():
         help="fraction of chains drawn uniformly from [long_min, max_len]",
     )
     p.add_argument("--long_min", type=int, default=320)
+    p.add_argument("--descending", action="store_true",
+                   help="batched mode: generate longest chains first")
+    p.add_argument("--steps_mult", type=int, default=4,
+                   help="pivot-MC step budget multiplier (per residue)")
+    p.add_argument("--anneal_moves", action="store_true",
+                   help="shrink pivot size along the collapse (long chains)")
     args = p.parse_args()
 
     ss_probs = tuple(float(x) for x in args.ss_probs.split(","))
@@ -69,6 +75,9 @@ def main():
             batch_size=args.batch_size,
             long_frac=args.long_frac,
             long_min=args.long_min,
+            descending=args.descending,
+            steps_mult=args.steps_mult,
+            anneal_moves=args.anneal_moves,
         )
     else:
         csv = syn.generate_dataset(args.out, cfg, num_processes=args.num_processes)

@@ -91,7 +91,10 @@ def _jitted_compact():
 
     return jax.jit(
         _compact_batch_segment,
-        static_argnames=("seg_steps", "total_steps", "clash_dist"),
+        static_argnames=(
+            "seg_steps", "total_steps", "clash_dist", "steps_mult",
+            "anneal_moves",
+        ),
     )
 
 
@@ -107,6 +110,8 @@ def _compact_batch_segment(
     seg_steps: int,
     total_steps: int,
     clash_dist: float,
+    steps_mult: int = 4,
+    anneal_moves: bool = False,
 ):
     """One segment of the batched pivot-MC collapse.
 
@@ -131,7 +136,10 @@ def _compact_batch_segment(
     )  # [B,N,N]
     n_movable = movable.sum(-1)  # [B] (guaranteed >=1 by caller)
     mov_cum = jnp.cumsum(movable, axis=-1)  # [B,N]
-    steps_b = 4 * real_len  # per-chain step budget (original compact_steps)
+    # Per-chain step budget. The original's 4*len suffices to len ~256;
+    # longer chains stall (acceptance collapses once the globule
+    # densifies), so callers raise steps_mult for the 320-512 band.
+    steps_b = steps_mult * real_len
 
     def masked_rg(ca):
         w = real[..., None]
@@ -140,9 +148,17 @@ def _compact_batch_segment(
         return jnp.sqrt(d2)
 
     def min_pair(ca):
+        # CRITICAL for TPU: the default matmul precision is bf16, which
+        # at coordinate magnitudes ~50 A makes |x|^2+|y|^2-2<x,y> pure
+        # noise (every move then reads as a clash and the collapse
+        # freezes — observed: rg flat across the whole scan). Center the
+        # coordinates (shrinks magnitudes) and force full-precision
+        # accumulation in the Gram einsum.
+        w = real[..., None]
+        ca = ca - (ca * w).sum(1, keepdims=True) / real_len[:, None, None]
         sq = (ca**2).sum(-1)  # [B,N]
         d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum(
-            "bnd,bmd->bnm", ca, ca
+            "bnd,bmd->bnm", ca, ca, precision=jax.lax.Precision.HIGHEST
         )
         d2 = jnp.maximum(d2, 0.0) + pair_pen
         return jnp.sqrt(d2.min((-1, -2)))
@@ -157,7 +173,16 @@ def _compact_batch_segment(
         kth = jnp.floor(pick * n_movable).astype(jnp.int32)
         i = jnp.argmax(mov_cum > kth[:, None], axis=1)  # [B]
         use_phi = (jax.random.uniform(ku[1], (B,)) < 0.5) & (i > 0)
-        delta = jnp.deg2rad(30.0) * jax.random.normal(ku[2], (B,))
+        move_scale = 1.0
+        if anneal_moves:
+            # Shrink pivot size as the collapse proceeds: large arm
+            # rotations in a dense globule nearly always violate the
+            # clash floor, so late-stage progress needs small moves.
+            frac = step / jnp.maximum(steps_b, 1)
+            move_scale = jnp.maximum(0.1, 1.0 - 0.9 * frac)
+        delta = jnp.deg2rad(30.0) * move_scale * jax.random.normal(
+            ku[2], (B,)
+        )
         u_acc = jax.random.uniform(ku[3], (B,))
 
         idx3 = jnp.broadcast_to(i[:, None, None], (B, 1, 3))
@@ -223,14 +248,15 @@ def _compact_batch_segment(
 
 
 def _compact_batch(
-    a0, real_len, movable, target_rg, key, num_snapshots, clash_dist
+    a0, real_len, movable, target_rg, key, num_snapshots, clash_dist,
+    steps_mult=4, anneal_moves=False,
 ):
     """Runs the segmented collapse; returns (snaps [S,B,N,4,3], rg, min)."""
     import jax
     import jax.numpy as jnp
 
     N = a0.shape[1]
-    total = 4 * N
+    total = steps_mult * N
     S = max(1, num_snapshots)
     seg = -(-total // S)  # ceil
     fn = _jitted_compact()
@@ -256,6 +282,8 @@ def _compact_batch(
             seg_steps=seg,
             total_steps=total,
             clash_dist=clash_dist,
+            steps_mult=steps_mult,
+            anneal_moves=anneal_moves,
         )
         snaps.append(a)
     return np.stack([np.asarray(s) for s in snaps]), np.asarray(
@@ -393,6 +421,10 @@ def compact_structures_batch(
     clash_dist: float = 3.2,
     retry_frac: float = 0.1,
     rg_slack: float = 1.3,
+    steps_mult: int = 4,
+    anneal_moves: bool = False,
+    topo_min_clash: float = 2.6,
+    topo_tries: int = 4,
 ) -> List[Tuple[List[np.ndarray], np.ndarray]]:
     """Batch equivalent of `synthetic.sample_structure` for same-bucket
     lengths. Returns per chain (snapshots list of atom37 [L,37,3], mask).
@@ -427,6 +459,20 @@ def compact_structures_batch(
         )
         phis, psis, fixed = topo
         a0 = build_backbones_batch(phis, psis)
+        # Initial-clash rejection: a topology that STARTS below the clash
+        # floor can never heal under the never-worsen rule, so redraw it
+        # (host-side, cheap) before burning compaction steps on it.
+        for _ in range(topo_tries):
+            init_min = _np_masked_min(a0, np.asarray(lengths))
+            bad = init_min < topo_min_clash
+            if not bad.any():
+                break
+            topo = _topology_batch(
+                rng, lengths, n_pad, ss_probs, max_strands,
+                only=bad, prev=topo,
+            )
+            phis, psis, fixed = topo
+            a0 = build_backbones_batch(phis, psis)
         movable = ~fixed
         for b in range(B):
             movable[b, lengths[b]:] = False
@@ -441,6 +487,8 @@ def compact_structures_batch(
             key,
             num_snapshots=num_snapshots,
             clash_dist=clash_dist,
+            steps_mult=steps_mult,
+            anneal_moves=anneal_moves,
         )
         for b in range(B):
             if satisfied[b]:
@@ -476,6 +524,112 @@ def compact_structures_batch(
     return out
 
 
+def _frame_from_3(n, ca, c):
+    """Orthonormal frame (3x3 columns) + origin from backbone triplet."""
+    e1 = c - ca
+    e1 /= np.linalg.norm(e1)
+    v = n - ca
+    e2 = v - (v @ e1) * e1
+    e2 /= np.linalg.norm(e2)
+    e3 = np.cross(e1, e2)
+    return np.stack([e1, e2, e3], axis=1), ca
+
+
+def join_domains(
+    a4: np.ndarray,
+    b4: np.ndarray,
+    rng: np.random.RandomState,
+    tries: int = 48,
+    min_inter_ca: float = 3.6,
+) -> np.ndarray:
+    """Joins two backbone domains with one ideal peptide bond.
+
+    The junction residue of `b4` is NERF-placed off `a4`'s C-terminus
+    with random (psi, phi) and trans omega, then all of `b4` is rigidly
+    mapped onto that placement (its internal geometry is untouched, so
+    the junction bond lengths/angles are exactly ideal). Placements are
+    retried until the domains don't clash (inter-domain CA pairs only —
+    intra-domain geometry was already validated per domain); the
+    least-clashed placement ships if none passes.
+
+    This is how the curriculum reaches 320-512 residues: single-globule
+    pivot-MC collapse stalls past ~300 residues, and real proteins that
+    size are multi-domain anyway.
+    """
+    syn_ = syn
+    n_a, ca_a, c_a = a4[-1, 0], a4[-1, 1], a4[-1, 2]
+    place = syn_._place
+
+    best, best_min = None, -np.inf
+    for _ in range(tries):
+        psi = rng.uniform(-180.0, 180.0)
+        phi = rng.uniform(-180.0, 180.0)
+        n_new = place(n_a, ca_a, c_a, syn_.B_C_N, syn_.A_CA_C_N, psi)
+        ca_new = place(ca_a, c_a, n_new, syn_.B_N_CA, syn_.A_C_N_CA, 180.0)
+        c_new = place(c_a, n_new, ca_new, syn_.B_CA_C, syn_.A_N_CA_C, phi)
+        f_tgt, o_tgt = _frame_from_3(n_new, ca_new, c_new)
+        f_src, o_src = _frame_from_3(b4[0, 0], b4[0, 1], b4[0, 2])
+        rot = f_tgt @ f_src.T
+        b_t = (b4 - o_src) @ rot.T + o_tgt
+        d = np.linalg.norm(
+            a4[:, 1][:, None] - b_t[:, 1][None], axis=-1
+        )
+        d[-1, 0] = np.inf  # the junction neighbors are bonded
+        m = float(d.min())
+        if m > best_min:
+            best, best_min = b_t, m
+        if m >= min_inter_ca:
+            break
+    return np.concatenate([a4, best], axis=0)
+
+
+def compact_multidomain_batch(
+    rng: np.random.RandomState,
+    lengths: np.ndarray,
+    max_domain: int = 256,
+    **kw,
+) -> List[Tuple[List[np.ndarray], np.ndarray]]:
+    """Long chains as joined 2..k-domain assemblies.
+
+    Splits each length into near-equal domains <= max_domain, generates
+    every domain through `compact_structures_batch` (one batch — the
+    regime where the collapse is validated), then joins consecutive
+    domains with `join_domains`. Output contract matches
+    `compact_structures_batch`.
+    """
+    lengths = np.asarray(lengths, np.int64)
+    num_snapshots = kw.get("num_snapshots", 1)
+    splits: List[List[int]] = []
+    for L in lengths:
+        k = int(np.ceil(L / max_domain))
+        base = int(L) // k
+        rem = int(L) - base * k
+        splits.append([base + (1 if j < rem else 0) for j in range(k)])
+    flat = np.array([d for s in splits for d in s])
+    dom_results = compact_structures_batch(rng, flat, **kw)
+
+    out = []
+    pos = 0
+    for s in splits:
+        doms = dom_results[pos: pos + len(s)]
+        pos += len(s)
+        chain_snaps = []
+        for snap_i in range(num_snapshots):
+            a4 = doms[0][0][snap_i][:, _ATOM37_COLS]
+            for d_snaps, _ in doms[1:]:
+                a4 = join_domains(
+                    a4, d_snaps[snap_i][:, _ATOM37_COLS], rng
+                )
+            L = a4.shape[0]
+            a37 = np.zeros((L, 37, 3), np.float32)
+            a37[:, _ATOM37_COLS] = a4
+            chain_snaps.append(a37)
+        mask = np.zeros((chain_snaps[0].shape[0], 37), np.float32)
+        mask[:, _ATOM37_COLS] = 1.0
+        out.append((chain_snaps, mask))
+    return out
+
+
 def generate_dataset_batch(
     out_dir: str,
     cfg: syn.CurriculumConfig = syn.CurriculumConfig(),
@@ -483,6 +637,10 @@ def generate_dataset_batch(
     long_frac: float = 0.0,
     long_min: int = 320,
     log_every: int = 200,
+    descending: bool = False,
+    steps_mult: int = 4,
+    anneal_moves: bool = False,
+    domain_split_min: int = 300,
 ) -> str:
     """Batched drop-in for `synthetic.generate_dataset`.
 
@@ -506,18 +664,29 @@ def generate_dataset_batch(
             for _ in range(cfg.num_topologies)
         ]
     )
+    # descending = longest first, so an interrupted run keeps the scarce
+    # long end of the band (the incremental csv makes any prefix a valid
+    # dataset).
     order = np.argsort(lens)
+    if descending:
+        order = order[::-1]
     rows = []
     done_count = 0
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
-        results = compact_structures_batch(
-            rng,
-            lens[idx],
+        kw = dict(
             ss_probs=tuple(cfg.ss_probs),
             max_strands=cfg.max_strands,
             num_snapshots=cfg.snapshots_per_topology,
+            steps_mult=steps_mult,
+            anneal_moves=anneal_moves,
         )
+        if lens[idx].max() >= domain_split_min:
+            # Chains past the single-globule collapse regime are built
+            # as multi-domain assemblies (see compact_multidomain_batch).
+            results = compact_multidomain_batch(rng, lens[idx], **kw)
+        else:
+            results = compact_structures_batch(rng, lens[idx], **kw)
         for j, (chain_snaps, mask) in zip(idx, results):
             L = int(lens[j])
             for si, atom37 in enumerate(chain_snaps):

@@ -230,3 +230,46 @@ class TestBatchedGenerator:
         assert chars.count("E") >= 12
         a37, _ = syn.build_backbone_from_dihedrals(phis, psis)
         assert np.isfinite(a37).all()
+
+
+class TestMultiDomain:
+    """Long chains as joined compact domains (synthetic_batch)."""
+
+    def test_join_preserves_domain_geometry(self):
+        rng = np.random.RandomState(0)
+        a = sb.build_backbones_batch(
+            rng.uniform(-120, -40, (1, 24)), rng.uniform(-60, 0, (1, 24))
+        )[0]
+        b = sb.build_backbones_batch(
+            rng.uniform(-140, -100, (1, 20)), rng.uniform(100, 140, (1, 20))
+        )[0]
+        joined = sb.join_domains(a, b, rng)
+        assert joined.shape == (44, 4, 3)
+        np.testing.assert_allclose(joined[:24], a, atol=1e-5)
+        # rigid: internal distances of b preserved
+        d_before = np.linalg.norm(b[:, 1][:, None] - b[:, 1][None], axis=-1)
+        bt = joined[24:]
+        d_after = np.linalg.norm(bt[:, 1][:, None] - bt[:, 1][None], axis=-1)
+        np.testing.assert_allclose(d_after, d_before, atol=1e-3)
+        # junction peptide geometry is ideal
+        ca = joined[:, 1]
+        d = np.linalg.norm(ca[24] - ca[23])
+        assert abs(d - 3.8) < 0.3, d
+        np.testing.assert_allclose(
+            np.linalg.norm(joined[24, 0] - joined[23, 2]), syn.B_C_N,
+            atol=1e-3,
+        )
+
+    def test_multidomain_batch_contract(self):
+        rng = np.random.RandomState(1)
+        lens = np.array([80, 96])
+        res = sb.compact_multidomain_batch(
+            rng, lens, max_domain=48, num_snapshots=2
+        )
+        for (snaps, mask), L in zip(res, lens):
+            assert len(snaps) == 2
+            assert snaps[-1].shape == (L, 37, 3)
+            ca = snaps[-1][:, 1]
+            d = np.linalg.norm(ca[1:] - ca[:-1], axis=-1)
+            assert (np.abs(d - 3.8) < 0.4).all()
+            assert np.isfinite(snaps[0]).all()
