@@ -117,11 +117,18 @@ class PdbDataset:
         return self.df.iloc[i]
 
     def load_example(self, i: int) -> Dict[str, np.ndarray]:
-        """Loads one chain's clean features (cached, ~100 entries)."""
+        """Loads one chain's clean features (cached).
+
+        Featurized chains are small (~150 KB at N=512: rigids + torsions +
+        atom37), so the cap is set high enough to hold a full production
+        dataset in RAM (~3 GB for 20k chains) — after the first epoch the
+        host data path is pure dict copies, which matters on the 1-core
+        host where pkl-read+featurize per example otherwise rate-limits
+        the train step."""
         row = self.df.iloc[i]
         path = self._resolve_path(row.processed_path)
         if path not in self._cache:
-            if len(self._cache) > 100:
+            if len(self._cache) > 50000:
                 self._cache.pop(next(iter(self._cache)))
             raw = du.read_pkl(path)
             self._cache[path] = self._featurize(raw)

@@ -60,6 +60,16 @@ class CheckpointManager:
             ),
         )
         self._mgr.wait_until_finished()
+        # Orbax step dirs are bulky and do not survive workspace resets
+        # (only git-committed files do), so mirror the weights into one
+        # compressed .npz after every save. Atomic rename so a mid-write
+        # crash never corrupts the last good export.
+        npz_path = os.path.join(self.ckpt_dir, "params_latest.npz")
+        tmp_path = npz_path + ".tmp.npz"
+        save_params_npz(tmp_path, state.params, state.ema_params)
+        os.replace(tmp_path, npz_path)
+        with open(os.path.join(self.ckpt_dir, "params_latest.step"), "w") as f:
+            f.write(f"{step}\n")
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
