@@ -62,11 +62,14 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
         # Orbax step dirs are bulky and do not survive workspace resets
         # (only git-committed files do), so mirror the weights into one
-        # compressed .npz after every save. Atomic rename so a mid-write
+        # .npz after every save. Uncompressed: float weights barely
+        # deflate (129 vs 139 MB) and zlib costs ~25 s of blocked train
+        # loop per save on the 1-core host. Atomic rename so a mid-write
         # crash never corrupts the last good export.
         npz_path = os.path.join(self.ckpt_dir, "params_latest.npz")
         tmp_path = npz_path + ".tmp.npz"
-        save_params_npz(tmp_path, state.params, state.ema_params)
+        save_params_npz(tmp_path, state.params, state.ema_params,
+                        compress=False)
         os.replace(tmp_path, npz_path)
         with open(os.path.join(self.ckpt_dir, "params_latest.step"), "w") as f:
             f.write(f"{step}\n")
@@ -136,8 +139,11 @@ def _unflatten_params(flat: dict) -> dict:
     return tree
 
 
-def save_params_npz(path: str, params: Any, ema_params: Any = None) -> None:
-    """Persists parameter pytrees as one compressed .npz.
+def save_params_npz(
+    path: str, params: Any, ema_params: Any = None, compress: bool = True
+) -> None:
+    """Persists parameter pytrees as one .npz (compressed by default;
+    compress=False for hot-loop mirrors where zlib time matters).
 
     Unlike orbax directories, a single npz file is git-committable, so a
     trained model survives workspace resets (orbax checkpoint binaries
@@ -149,7 +155,7 @@ def save_params_npz(path: str, params: Any, ema_params: Any = None) -> None:
         flat.update(
             {f"ema/{k}": v for k, v in _flatten_params(ema_params).items()}
         )
-    np.savez_compressed(path, **flat)
+    (np.savez_compressed if compress else np.savez)(path, **flat)
 
 
 def load_params_npz(path: str, prefer_ema: bool = False) -> Any:

@@ -1,6 +1,8 @@
 """Training step tests: loss mechanics, overfit sanity, shard_map DP
 (SURVEY.md section 4.4: multi-host semantics tested on a virtual device
 mesh — the reference's DDP path had no test of any kind)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -201,6 +203,19 @@ class TestEma:
         got_ema = jax.tree_util.tree_leaves(ema_loaded)
         got_raw = jax.tree_util.tree_leaves(raw_loaded)
         want_raw = jax.tree_util.tree_leaves(state.params)
+        assert all(np.allclose(x, y) for x, y in zip(got_ema, a))
+        assert all(np.allclose(x, y) for x, y in zip(got_raw, want_raw))
+        # Every save also mirrors the weights into a single .npz (orbax
+        # step dirs are bulky/gitignored and do not survive workspace
+        # resets) with the raw + EMA trees and the step recorded.
+        npz_path = str(tmp_path / "ema_ckpt" / "params_latest.npz")
+        assert os.path.exists(npz_path)
+        step_file = tmp_path / "ema_ckpt" / "params_latest.step"
+        assert int(step_file.read_text()) == int(state.step)
+        mirrored_ema = warm_start_params(npz_path, None, prefer_ema=True)
+        mirrored_raw = warm_start_params(npz_path, None)
+        got_ema = jax.tree_util.tree_leaves(mirrored_ema)
+        got_raw = jax.tree_util.tree_leaves(mirrored_raw)
         assert all(np.allclose(x, y) for x, y in zip(got_ema, a))
         assert all(np.allclose(x, y) for x, y in zip(got_raw, want_raw))
 
