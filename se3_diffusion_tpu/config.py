@@ -149,6 +149,14 @@ class ExperimentConfig:
     dist_mat_loss_weight: float = 1.0
     dist_mat_loss_t_filter: float = 0.25
     aux_loss_weight: float = 0.25
+    # CA-CA steric clash hinge penalty (framework addition; the reference
+    # has no clash term — its clash artifact is only *measured*, via
+    # `analysis/metrics.py:127-132`). Penalizes predicted non-adjacent CA
+    # pairs closer than the margin, excluding pairs that are genuinely
+    # close in the ground truth. Weight 0 disables (reference parity).
+    clash_loss_weight: float = 0.0
+    clash_loss_margin: float = 3.8
+    clash_loss_t_filter: float = 0.25
     use_wandb: bool = False
     # EMA parameter averaging (framework addition; the reference vendors
     # but never uses EMA). None disables; eval/sampling prefer the EMA

@@ -165,7 +165,39 @@ def framediff_loss(
         * cfg.aux_loss_weight
     )
 
-    final_loss = rot_loss + trans_loss + bb_atom_loss + dist_mat_loss
+    # --- CA-CA clash hinge penalty (framework addition) ---------------------
+    # The reference only *measures* CA clashes (`analysis/metrics.py:127-132`,
+    # non-adjacent pairs < 1.5 A) and its loss has no term discouraging them.
+    # Clash count growing with chain length is the dominant sample artifact,
+    # so we add an optional hinge^2 on predicted non-adjacent CA pairs below
+    # `clash_loss_margin`, excluding pairs that are genuinely closer than the
+    # margin in the ground truth (faithful reconstruction is never penalized).
+    if cfg.clash_loss_weight > 0.0:
+        pred_ca = pred_atom37[:, :, 1]
+        gt_ca = gt_atom37[:, :, 1]
+        pred_d = quat_lib.safe_norm(pred_ca[:, :, None] - pred_ca[:, None, :])
+        gt_d = quat_lib.safe_norm(gt_ca[:, :, None] - gt_ca[:, None, :])
+        idx = jnp.arange(num_res)
+        nonadjacent = (jnp.abs(idx[:, None] - idx[None, :]) >= 2).astype(
+            jnp.float32
+        )
+        clash_pair_mask = (
+            loss_mask[:, :, None]
+            * bb_mask[:, None, :]
+            * nonadjacent[None]
+            * (gt_d >= cfg.clash_loss_margin).astype(jnp.float32)
+        )
+        hinge = jnp.maximum(cfg.clash_loss_margin - pred_d, 0.0) ** 2
+        clash_loss = (hinge * clash_pair_mask).sum((-1, -2)) / denom
+        clash_loss = (
+            clash_loss
+            * cfg.clash_loss_weight
+            * (t < cfg.clash_loss_t_filter).astype(jnp.float32)
+        )
+    else:
+        clash_loss = jnp.zeros_like(rot_loss)
+
+    final_loss = rot_loss + trans_loss + bb_atom_loss + dist_mat_loss + clash_loss
 
     def normalize(x):
         return (x * batch_loss_mask).sum() / (batch_loss_mask.sum() + 1e-10)
@@ -176,6 +208,7 @@ def framediff_loss(
         "trans_loss": normalize(trans_loss),
         "bb_atom_loss": normalize(bb_atom_loss),
         "dist_mat_loss": normalize(dist_mat_loss),
+        "clash_loss": normalize(clash_loss),
         "examples_per_step": jnp.asarray(batch_size, jnp.float32),
         "res_length": bb_mask.sum(-1).mean(),
     }

@@ -304,3 +304,108 @@ class TestGradClipAndDonate:
             jax.tree_util.tree_leaves(s2.params),
         ):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+class TestClashLoss:
+    """CA-CA clash hinge penalty (framework addition; the reference only
+    measures clashes, `analysis/metrics.py:127-132`)."""
+
+    def _manual_inputs(self, gt_trans, pred_ca, t):
+        """Build framediff_loss inputs with hand-placed GT frames and
+        predicted CA coordinates."""
+        import dataclasses
+
+        b, n, _ = gt_trans.shape
+        quats = jnp.tile(
+            jnp.array([1.0, 0.0, 0.0, 0.0])[None, None], (b, n, 1)
+        )
+        rigids_0 = jnp.concatenate([quats, gt_trans], axis=-1)
+        atom37 = jnp.zeros((b, n, 37, 3)).at[:, :, 1].set(pred_ca)
+        model_out = {
+            "rot_score": jnp.zeros((b, n, 3)),
+            "trans_score": jnp.zeros((b, n, 3)),
+            "rigids": rigids_0,
+            "atom37": atom37,
+        }
+        batch = {
+            "rigids_0": rigids_0,
+            "rot_score": jnp.zeros((b, n, 3)),
+            "trans_score": jnp.zeros((b, n, 3)),
+            "rot_score_scaling": jnp.ones((b,)),
+            "trans_score_scaling": jnp.ones((b,)),
+            "res_mask": jnp.ones((b, n)),
+            "fixed_mask": jnp.zeros((b, n)),
+            "torsion_angles_sin_cos": jnp.zeros((b, n, 7, 2)),
+            "t": jnp.full((b,), t),
+        }
+        cfg = dataclasses.replace(
+            SMALL_CFG.experiment, clash_loss_weight=1.0
+        )
+        return model_out, batch, cfg
+
+    def _straight_chain(self, b, n, spacing=3.8):
+        x = jnp.arange(n, dtype=jnp.float32) * spacing
+        trans = jnp.stack([x, jnp.zeros(n), jnp.zeros(n)], axis=-1)
+        return jnp.tile(trans[None], (b, 1, 1))
+
+    def test_predicted_clash_is_penalized(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt = self._straight_chain(1, 8)
+        pred = gt.at[0, 6].set(gt[0, 0] + 1.0)  # residue 6 on top of 0
+        model_out, batch, cfg = self._manual_inputs(gt, pred, t=0.1)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["clash_loss"]) > 0.0
+
+    def test_clean_prediction_has_zero_clash_loss(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt = self._straight_chain(1, 8, spacing=3.9)
+        model_out, batch, cfg = self._manual_inputs(gt, gt, t=0.1)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["clash_loss"]) == 0.0
+
+    def test_gt_close_pairs_are_excluded(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        # GT itself has residues 0 and 6 within the margin; predicting the
+        # GT exactly must not be penalized (GT-aware exclusion).
+        gt = self._straight_chain(1, 8)
+        gt = gt.at[0, 6].set(gt[0, 0] + jnp.array([1.0, 0.0, 0.0]))
+        model_out, batch, cfg = self._manual_inputs(gt, gt, t=0.1)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["clash_loss"]) == 0.0
+
+    def test_t_gate_and_default_off(self):
+        import dataclasses
+
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt = self._straight_chain(1, 8)
+        pred = gt.at[0, 6].set(gt[0, 0] + 1.0)
+        model_out, batch, cfg = self._manual_inputs(gt, pred, t=0.9)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["clash_loss"]) == 0.0  # gated at high t
+        model_out, batch, cfg = self._manual_inputs(gt, pred, t=0.1)
+        cfg_off = dataclasses.replace(cfg, clash_loss_weight=0.0)
+        loss_on, aux_on = framediff_loss(model_out, batch, cfg)
+        loss_off, aux_off = framediff_loss(model_out, batch, cfg_off)
+        assert float(aux_off["clash_loss"]) == 0.0
+        assert float(loss_on) > float(loss_off)  # term adds to the total
+
+    def test_clash_gradients_finite(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt = self._straight_chain(1, 8)
+        # Degenerate prediction: every CA coincident — safe_norm must keep
+        # gradients finite at d=0.
+        pred = jnp.zeros_like(gt)
+        model_out, batch, cfg = self._manual_inputs(gt, pred, t=0.1)
+
+        def f(ca):
+            mo = dict(model_out)
+            mo["atom37"] = mo["atom37"].at[:, :, 1].set(ca)
+            return framediff_loss(mo, batch, cfg)[0]
+
+        g = jax.grad(f)(pred)
+        assert np.all(np.isfinite(np.asarray(g)))
