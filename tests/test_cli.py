@@ -124,3 +124,83 @@ def test_sample_cli_from_ckpt(tiny_cfg):
     assert csvs and pdbs, (list(out_dir.rglob("*")), r.stderr[-2000:])
     df = pd.read_csv(csvs[0])
     assert len(df) >= 1 and "ca_ca_valid_percent" in df.columns
+
+
+def test_combine_datasets_clash_filter(tmp_path):
+    """combine_datasets.py --max_ca_clashes drops GT-clashy chains and
+    caches counts (framework addition; the pivot-MC generator emits ~4%
+    chains with non-adjacent CA pairs under the eval clash threshold)."""
+    import pickle
+
+    import numpy as np
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_chain(name, ca):
+        n = len(ca)
+        pos = np.zeros((n, 37, 3), np.float32)
+        pos[:, 1] = ca
+        with open(src / f"{name}.pkl", "wb") as f:
+            pickle.dump(
+                {
+                    "atom_positions": pos,
+                    "atom_mask": np.ones((n, 37), np.float32),
+                    "aatype": np.zeros(n, np.int32),
+                    "residue_index": np.arange(n, dtype=np.int32),
+                    "chain_index": np.zeros(n, np.int32),
+                    "b_factors": np.zeros((n, 37), np.float32),
+                },
+                f,
+            )
+
+    straight = np.stack(
+        [np.arange(8) * 3.8, np.zeros(8), np.zeros(8)], axis=-1
+    )
+    clashy = straight.copy()
+    clashy[6] = straight[0] + [1.0, 0.0, 0.0]
+    write_chain("clean", straight)
+    write_chain("clashy", clashy)
+    rows = []
+    for name in ("clean", "clashy"):
+        rows.append(
+            {
+                "pdb_name": name,
+                "processed_path": f"{name}.pkl",
+                "raw_path": "synthetic",
+                "resolution": 0.0,
+                "oligomeric_detail": "monomeric",
+                "seq_len": 8,
+                "modeled_seq_len": 8,
+                "helix_percent": 0.0,
+                "strand_percent": 0.0,
+                "coil_percent": 1.0,
+                "radius_gyration": 10.0,
+            }
+        )
+    pd.DataFrame(rows).to_csv(src / "metadata.csv", index=False)
+
+    out = tmp_path / "combined"
+    r = run_script(
+        [
+            "scripts/combine_datasets.py",
+            str(src),
+            "--out",
+            str(out),
+            "--max_ca_clashes",
+            "0",
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    merged = pd.read_csv(out / "metadata.csv")
+    assert list(merged.pdb_name) == ["clean"]
+    cache = pd.read_csv(src / "ca_clashes.csv")
+    counts = dict(zip(cache.pdb_name, cache.num_ca_clashes))
+    assert counts == {"clean": 0, "clashy": 1}
+    # Unfiltered combine keeps both.
+    out2 = tmp_path / "combined_all"
+    r = run_script(
+        ["scripts/combine_datasets.py", str(src), "--out", str(out2)]
+    )
+    assert r.returncode == 0, r.stderr
+    assert len(pd.read_csv(out2 / "metadata.csv")) == 2
