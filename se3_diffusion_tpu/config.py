@@ -181,6 +181,11 @@ class InferenceDiffusionConfig:
     # Deterministic probability-flow ODE integration (framework addition;
     # same marginals, enables fewer steps).
     probability_flow: bool = False
+    # Reverse-time CA-CA clash guidance (framework addition; 0 = off,
+    # reference parity). See `sampling.sampler.sample_fn`.
+    clash_guidance_weight: float = 0.0
+    clash_guidance_margin: float = 3.8
+    clash_guidance_t_max: float = 0.25
 
 
 @dataclass(frozen=True)

@@ -158,6 +158,9 @@ class InferenceRunner:
             noise_scale=inf.diffusion.noise_scale,
             aux_traj=True,
             probability_flow=inf.diffusion.probability_flow,
+            clash_guidance_weight=inf.diffusion.clash_guidance_weight,
+            clash_guidance_margin=inf.diffusion.clash_guidance_margin,
+            clash_guidance_t_max=inf.diffusion.clash_guidance_t_max,
         )
         atom37 = np.asarray(out.atom37)[0]
         paths = self.save_traj(
