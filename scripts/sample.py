@@ -45,6 +45,13 @@ def main():
         "--raw_params", action="store_true",
         help="use raw (non-EMA) params from an orbax checkpoint",
     )
+    p.add_argument(
+        "--clash_guidance_weight", type=float, default=None,
+        help="reverse-time CA-CA clash guidance strength (0 = off, the "
+        "reference-faithful default; framework addition)",
+    )
+    p.add_argument("--clash_guidance_margin", type=float, default=None)
+    p.add_argument("--clash_guidance_t_max", type=float, default=None)
     args = p.parse_args()
 
     cfg = config_lib.load_yaml(args.config) if args.config else config_lib.Config()
@@ -55,6 +62,10 @@ def main():
     diffusion = cfg.inference.diffusion
     if args.num_t is not None:
         diffusion = dataclasses.replace(diffusion, num_t=args.num_t)
+    for k in ("clash_guidance_weight", "clash_guidance_margin",
+              "clash_guidance_t_max"):
+        if getattr(args, k) is not None:
+            diffusion = dataclasses.replace(diffusion, **{k: getattr(args, k)})
     if args.noise_scale is not None:
         diffusion = dataclasses.replace(diffusion, noise_scale=args.noise_scale)
     if args.probability_flow:

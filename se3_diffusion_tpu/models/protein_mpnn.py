@@ -304,6 +304,122 @@ class ProteinMPNN(nn.Module):
         logits = self.decoder_logits(h_v, h_e, e_idx, mask, seq, decoding_order)
         return jax.nn.log_softmax(logits, axis=-1)
 
+    def unconditional_log_probs(self, x, mask, residue_idx, chain_labels):
+        """One-shot p(s_i | structure) for every position, [B, N, 21].
+
+        Mirrors the reference's `unconditional_probs`
+        (`ProteinMPNN/protein_mpnn_utils.py:1332-1362`): the backward order
+        mask is identically zero, so every decoder layer sees only the
+        forward (encoder/structure) context and no sequence embedding is
+        ever visible — a single decoder pass instead of N AR steps.
+        """
+        h_v, h_e, e_idx = self.encode(x, mask, residue_idx, chain_labels)
+        h_s0 = jnp.zeros(h_v.shape[:2] + (self.cfg.hidden_dim,), h_v.dtype)
+        h_ex = jnp.concatenate([h_e, gather_nodes(h_s0, e_idx)], axis=-1)
+        h_exv = jnp.concatenate([h_ex, gather_nodes(h_v, e_idx)], axis=-1)
+        h_exv_fw = mask[:, :, None, None] * h_exv
+        for layer in self.dec_layers:
+            h_v = layer(h_v, h_exv_fw, mask)
+        return jax.nn.log_softmax(self.w_out(h_v), axis=-1)
+
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def score_sequences(
+    model: ProteinMPNN,
+    params,
+    x: Array,
+    seq: Array,
+    mask: Array,
+    residue_idx: Array,
+    chain_labels: Array,
+    decoding_order: Array,
+    score_mask: Array | None = None,
+):
+    """Per-sequence NLL under one teacher-forced decoding order.
+
+    The reference CLI's `--score_only` mode
+    (`ProteinMPNN/protein_mpnn_run.py`, `_scores` helper): score =
+    mean over scored positions of -log p(s_i | s_<i(order), structure).
+    `score_mask` restricts scoring (the reference uses mask * chain_M).
+    Returns {'log_probs' [B,N,21], 'nll' [B,N], 'score' [B]}.
+    """
+    lp = model.apply(
+        {"params": params}, x, seq, mask, residue_idx, chain_labels,
+        decoding_order,
+    )
+    nll = -jnp.take_along_axis(lp, seq[..., None], axis=-1)[..., 0]
+    m = mask if score_mask is None else mask * score_mask
+    score = (nll * m).sum(-1) / jnp.maximum(m.sum(-1), 1e-8)
+    return {"log_probs": lp, "nll": nll, "score": score}
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def unconditional_probs(
+    model: ProteinMPNN,
+    params,
+    x: Array,
+    mask: Array,
+    residue_idx: Array,
+    chain_labels: Array,
+) -> Array:
+    """One-shot structure-only log-probs (reference CLI
+    `--unconditional_probs_only`); see
+    `ProteinMPNN.unconditional_log_probs`."""
+    return model.apply(
+        {"params": params}, x, mask, residue_idx, chain_labels,
+        method=ProteinMPNN.unconditional_log_probs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("model", "backbone_only"))
+def conditional_probs(
+    model: ProteinMPNN,
+    params,
+    x: Array,
+    seq: Array,
+    mask: Array,
+    residue_idx: Array,
+    chain_labels: Array,
+    randn: Array,
+    backbone_only: bool = False,
+) -> Array:
+    """Per-position conditionals p(s_i | s_others, structure), [B, N, 21].
+
+    Mirrors the reference's `conditional_probs`
+    (`ProteinMPNN/protein_mpnn_utils.py:1272-1330`, CLI
+    `--conditional_probs_only[_backbone]`): for each target i a decoding
+    order is drawn from the shared noise `randn` via
+    argsort((order_mask + 1e-4) * |randn|) with i forced last — so i
+    conditions on every other committed token — and row i of that
+    teacher-forced decoder pass is kept. `backbone_only=True` instead
+    forces i first (:1305-1307), giving structure-only probabilities for
+    row i. The encoder runs once; the N decoder passes run under
+    `lax.map` (bounded memory; same O(N) decoder cost as the reference's
+    python loop, but jitted and batched over B).
+    """
+    h_v, h_e, e_idx = model.apply(
+        {"params": params}, x, mask, residue_idx, chain_labels,
+        method=ProteinMPNN.encode,
+    )
+    n = mask.shape[-1]
+    absr = jnp.abs(randn)
+
+    def one(idx):
+        if backbone_only:
+            order_mask = jnp.ones((n,), absr.dtype).at[idx].set(0.0)
+        else:
+            order_mask = jnp.zeros((n,), absr.dtype).at[idx].set(1.0)
+        order = jnp.argsort((order_mask[None] + 1e-4) * absr, axis=-1)
+        logits = model.apply(
+            {"params": params}, h_v, h_e, e_idx, mask, seq, order,
+            method=ProteinMPNN.decoder_logits,
+        )
+        return jax.nn.log_softmax(logits, axis=-1)[:, idx]  # [B, 21]
+
+    out = jax.lax.map(one, jnp.arange(n))  # [N, B, 21]
+    return jnp.swapaxes(out, 0, 1)
+
 
 def random_decoding_order(key: jax.Array, mask: Array) -> Array:
     """Random order over valid positions; masked positions decode first

@@ -126,6 +126,27 @@ def test_sample_cli_from_ckpt(tiny_cfg):
     assert len(df) >= 1 and "ca_ca_valid_percent" in df.columns
 
 
+def test_sample_cli_clash_guidance(tiny_cfg):
+    """--clash_guidance_* flags plumb through to the sampler (framework
+    addition; reference has no guidance knob) and produce valid output."""
+    cfg_path, run_dir, out_dir = tiny_cfg
+    if not run_dir.is_dir() or not any(
+        d.name.isdigit() for d in run_dir.iterdir()
+    ):
+        pytest.skip("needs the checkpoint from test_train_cli")
+    guided = out_dir.parent / "samples_guided"
+    r = run_script(
+        ["scripts/sample.py", "--config", str(cfg_path),
+         "--weights", str(run_dir), "--output_dir", str(guided),
+         "--clash_guidance_weight", "1.0",
+         "--clash_guidance_margin", "3.8",
+         "--clash_guidance_t_max", "0.25"]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    pdbs = list(guided.rglob("*.pdb"))
+    assert pdbs, (list(guided.rglob("*")), r.stderr[-2000:])
+
+
 def test_combine_datasets_clash_filter(tmp_path):
     """combine_datasets.py --max_ca_clashes drops GT-clashy chains and
     caches counts (framework addition; the pivot-MC generator emits ~4%

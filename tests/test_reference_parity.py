@@ -933,3 +933,116 @@ def test_protein_mpnn_per_position_omit():
     assert (seq[:, banned_positions] >= 10).all()
     # Un-banned positions still explore the full alphabet head.
     assert (seq < 10).any()
+
+
+def test_protein_mpnn_unconditional_probs_parity(ref):
+    """Structure-only one-shot log-probs match the reference's
+    `unconditional_probs` (`protein_mpnn_utils.py:1332-1362`, CLI
+    `--unconditional_probs_only`)."""
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import unconditional_probs
+
+    cfg, ref_model, model, params = _mpnn_pair(ref)
+    rng = np.random.default_rng(11)
+    b, n = 2, 36
+    inp = _mpnn_inputs(rng, b, n)
+    inp["mask"][1, -4:] = 0.0
+
+    with torch.no_grad():
+        ref_lp = ref_model.unconditional_probs(
+            torch.tensor(inp["x"]), torch.tensor(inp["mask"]),
+            torch.tensor(inp["residue_idx"]),
+            torch.tensor(inp["chain_labels"]),
+        ).numpy()
+    ours = np.asarray(
+        unconditional_probs(
+            model, params, jnp.asarray(inp["x"]), jnp.asarray(inp["mask"]),
+            jnp.asarray(inp["residue_idx"]),
+            jnp.asarray(inp["chain_labels"]),
+        )
+    )
+    valid = inp["mask"].astype(bool)
+    np.testing.assert_allclose(ours[valid], ref_lp[valid], atol=2e-4,
+                               rtol=1e-3)
+
+
+@pytest.mark.parametrize("backbone_only", [False, True])
+def test_protein_mpnn_conditional_probs_parity(ref, backbone_only):
+    """Per-position conditionals match the reference's `conditional_probs`
+    (`protein_mpnn_utils.py:1272-1330`, CLI `--conditional_probs_only` /
+    `--conditional_probs_only_backbone`) given the same order noise."""
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import conditional_probs
+
+    cfg, ref_model, model, params = _mpnn_pair(ref)
+    rng = np.random.default_rng(13)
+    b, n = 2, 24
+    inp = _mpnn_inputs(rng, b, n)  # all-ones mask: ref loops every idx
+    seq = rng.integers(0, 21, size=(b, n))
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_lp = ref_model.conditional_probs(
+            torch.tensor(inp["x"]), torch.tensor(seq),
+            torch.tensor(inp["mask"]), torch.tensor(inp["mask"]),
+            torch.tensor(inp["residue_idx"]),
+            torch.tensor(inp["chain_labels"]), torch.tensor(randn),
+            backbone_only=backbone_only,
+        ).numpy()
+    ours = np.asarray(
+        conditional_probs(
+            model, params, jnp.asarray(inp["x"]), jnp.asarray(seq),
+            jnp.asarray(inp["mask"]), jnp.asarray(inp["residue_idx"]),
+            jnp.asarray(inp["chain_labels"]), jnp.asarray(randn),
+            backbone_only=backbone_only,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_lp, atol=2e-4, rtol=1e-3)
+
+
+def test_protein_mpnn_score_sequences_parity(ref):
+    """`score_sequences` reproduces the reference CLI's `--score_only`
+    reduction (`protein_mpnn_utils.py:18-26` `_scores`: masked mean NLL
+    of the teacher-forced forward)."""
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import score_sequences
+
+    cfg, ref_model, model, params = _mpnn_pair(ref)
+    rng = np.random.default_rng(17)
+    b, n = 2, 36
+    inp = _mpnn_inputs(rng, b, n)
+    inp["mask"][0, -6:] = 0.0
+    seq = rng.integers(0, 21, size=(b, n))
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    order = np.argsort((inp["mask"] + 1e-4) * np.abs(randn), axis=-1)
+    # Score only a sub-span, like the reference's mask_for_loss =
+    # mask * chain_M * chain_M_pos.
+    design_mask = np.zeros((b, n), np.float32)
+    design_mask[:, 4:30] = 1.0
+
+    with torch.no_grad():
+        ref_lp = ref_model(
+            torch.tensor(inp["x"]), torch.tensor(seq),
+            torch.tensor(inp["mask"]), torch.tensor(inp["mask"]),
+            torch.tensor(inp["residue_idx"]),
+            torch.tensor(inp["chain_labels"]), torch.tensor(randn),
+            use_input_decoding_order=True,
+            decoding_order=torch.tensor(order),
+        )
+        ref_scores = ref.mpnn._scores(
+            torch.tensor(seq), ref_lp,
+            torch.tensor(inp["mask"] * design_mask),
+        ).numpy()
+
+    out = score_sequences(
+        model, params, jnp.asarray(inp["x"]), jnp.asarray(seq),
+        jnp.asarray(inp["mask"]), jnp.asarray(inp["residue_idx"]),
+        jnp.asarray(inp["chain_labels"]), jnp.asarray(order),
+        score_mask=jnp.asarray(design_mask),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["score"]), ref_scores, atol=2e-4, rtol=1e-3
+    )
