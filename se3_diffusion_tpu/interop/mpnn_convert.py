@@ -59,6 +59,16 @@ def convert_mpnn_state_dict(
     state_dict: Dict[str, Any], cfg: MPNNConfig = MPNNConfig()
 ) -> Dict[str, Any]:
     sd = {k: v for k, v in state_dict.items()}
+    if cfg.ca_only:
+        # The reference's CA model initializes features.node_embedding,
+        # features.norm_nodes, and W_v but its forward never uses them
+        # (`protein_mpnn_utils.py:735-738,1012`); drop the dead weights.
+        for dead in (
+            "features.node_embedding.weight",
+            "features.norm_nodes.weight", "features.norm_nodes.bias",
+            "W_v.weight", "W_v.bias",
+        ):
+            sd.pop(dead, None)
     params: Dict[str, Any] = {
         "features": {
             "pos_linear": _dense(sd, "features.embeddings.linear"),

@@ -51,6 +51,7 @@ class MPNNConfig(NamedTuple):
     num_positional_embeddings: int = 16
     max_relative_feature: int = 32
     augment_eps: float = 0.0
+    ca_only: bool = False
 
 
 def _rbf(d: Array, num_rbf: int) -> Array:
@@ -221,6 +222,125 @@ class ProteinFeatures(nn.Module):
         return e, e_idx
 
 
+def _normalize(v: Array, axis: int = -1, eps: float = 1e-12) -> Array:
+    """torch F.normalize semantics: v / max(||v||, eps)."""
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.maximum(n, eps)
+
+
+def _rot_to_quat_xyzw(r: Array) -> Array:
+    """[..., 3, 3] rotations -> [..., 4] quaternions in [x,y,z,w] order.
+
+    Bit-for-bit port of the reference's featurizer-internal
+    `CA_ProteinFeatures._quaternions` (`protein_mpnn_utils.py:740-766`) —
+    NOTE this deviates from the repo-wide [w,x,y,z] convention on purpose:
+    the quaternion is an MPNN *edge feature*, so the released-weight
+    contract fixes its layout (sign-magnitude Shepperd variant, xyzw).
+    """
+    rxx, ryy, rzz = r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]
+    mag = 0.5 * jnp.sqrt(jnp.abs(1.0 + jnp.stack(
+        [rxx - ryy - rzz, -rxx + ryy - rzz, -rxx - ryy + rzz], axis=-1)))
+    signs = jnp.sign(jnp.stack(
+        [r[..., 2, 1] - r[..., 1, 2],
+         r[..., 0, 2] - r[..., 2, 0],
+         r[..., 1, 0] - r[..., 0, 1]], axis=-1))
+    xyz = signs * mag
+    w = jnp.sqrt(jax.nn.relu(1.0 + rxx + ryy + rzz))[..., None] / 2.0
+    return _normalize(jnp.concatenate([xyz, w], axis=-1))
+
+
+class CAProteinFeatures(nn.Module):
+    """CA-only featurizer — the reference CLI's `--ca_only` path
+    (`CA_ProteinFeatures`, `protein_mpnn_utils.py:719-897`): 9 RBF blocks
+    over (prev, self, next) CA pairs plus 7 orientation features per
+    k-NN edge (local-frame unit displacement + frame-to-frame quaternion
+    from virtual CA frames). The reference's `node_embedding`/
+    `norm_nodes` (and the model-level `W_v`) are initialized but never
+    used by its forward, so they are omitted here and dropped by the
+    weight converter."""
+
+    cfg: MPNNConfig
+
+    @nn.compact
+    def __call__(self, x, mask, residue_idx, chain_labels):
+        cfg = self.cfg
+        ca = x[:, :, 1] if x.ndim == 4 else x  # [B, N, 3]
+        b, n = ca.shape[:2]
+
+        mask2d = mask[:, :, None] * mask[:, None, :]
+        d = jnp.sqrt(
+            jnp.sum((ca[:, :, None] - ca[:, None, :]) ** 2, -1) + 1e-6
+        )
+        d_masked = jnp.where(mask2d > 0, d, 1e6)
+        k = min(cfg.k_neighbors, n)
+        neg_d, e_idx = jax.lax.top_k(-d_masked, k)
+        d_neighbors = -neg_d
+
+        # Ca_0 / Ca_2: previous/next CA with zero boundary rows
+        # (reference :852-856).
+        ca_prev = jnp.pad(ca[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        ca_next = jnp.pad(ca[:, 1:], ((0, 0), (0, 1), (0, 0)))
+
+        def rbf_pair(a, c):
+            dd = jnp.sqrt(
+                jnp.sum((a[:, :, None] - c[:, None, :]) ** 2, -1) + 1e-6
+            )
+            return _rbf(jnp.take_along_axis(dd, e_idx, axis=2), cfg.num_rbf)
+
+        # Exact reference block order (:858-872).
+        rbfs = [
+            _rbf(d_neighbors, cfg.num_rbf),          # Ca1-Ca1
+            rbf_pair(ca_prev, ca_prev), rbf_pair(ca_next, ca_next),
+            rbf_pair(ca_prev, ca), rbf_pair(ca_prev, ca_next),
+            rbf_pair(ca, ca_prev), rbf_pair(ca, ca_next),
+            rbf_pair(ca_next, ca_prev), rbf_pair(ca_next, ca),
+        ]
+        rbf_all = jnp.concatenate(rbfs, axis=-1)
+
+        # Orientation features (reference _orientations_coarse :768-816;
+        # the AD_features output is unused by the CA forward).
+        dx = ca[:, 1:] - ca[:, :-1]
+        dx_norm = jnp.linalg.norm(dx, axis=-1)
+        no_jump = ((dx_norm > 3.6) & (dx_norm < 4.0)).astype(ca.dtype)
+        u = _normalize(dx * no_jump[..., None])       # [B, N-1, 3]
+        u_2, u_1 = u[:, :-2], u[:, 1:-1]              # [B, N-3, 3]
+        n_2 = _normalize(jnp.cross(u_2, u_1))
+        o_1 = _normalize(u_2 - u_1)
+        frame = jnp.stack(
+            [o_1, n_2, jnp.cross(o_1, n_2)], axis=2
+        )                                              # [B, N-3, 3, 3]
+        o_flat = jnp.pad(
+            frame.reshape(b, n - 3, 9), ((0, 0), (1, 2), (0, 0))
+        )                                              # [B, N, 9]
+        o_neighbors = gather_nodes(o_flat, e_idx).reshape(b, n, k, 3, 3)
+        x_neighbors = gather_nodes(ca, e_idx)          # [B, N, K, 3]
+        o_mat = o_flat.reshape(b, n, 3, 3)
+        dxn = x_neighbors - ca[:, :, None]
+        du = _normalize(jnp.einsum("bnij,bnkj->bnki", o_mat, dxn))
+        r_rel = jnp.einsum("bnji,bnkjl->bnkil", o_mat, o_neighbors)
+        o_features = jnp.concatenate(
+            [du, _rot_to_quat_xyzw(r_rel)], axis=-1
+        )                                              # [B, N, K, 7]
+
+        offset = residue_idx[:, :, None] - residue_idx[:, None, :]
+        offset = jnp.take_along_axis(offset, e_idx, axis=2)
+        same_chain = (
+            chain_labels[:, :, None] == chain_labels[:, None, :]
+        ).astype(jnp.int32)
+        e_chains = jnp.take_along_axis(same_chain, e_idx, axis=2)
+        mrf = cfg.max_relative_feature
+        dclip = jnp.clip(offset + mrf, 0, 2 * mrf) * e_chains + (
+            1 - e_chains
+        ) * (2 * mrf + 1)
+        d_onehot = jax.nn.one_hot(dclip, 2 * mrf + 2)
+        e_pos = nn.Dense(cfg.num_positional_embeddings, name="pos_linear")(d_onehot)
+
+        e = jnp.concatenate([e_pos, rbf_all, o_features], axis=-1)
+        e = nn.Dense(cfg.edge_features, use_bias=False, name="edge_embedding")(e)
+        e = nn.LayerNorm(epsilon=LN_EPS, name="norm_edges")(e)
+        return e, e_idx
+
+
 class ProteinMPNN(nn.Module):
     """Graph-conditioned autoregressive sequence model."""
 
@@ -228,7 +348,8 @@ class ProteinMPNN(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.features = ProteinFeatures(cfg, name="features")
+        feat_cls = CAProteinFeatures if cfg.ca_only else ProteinFeatures
+        self.features = feat_cls(cfg, name="features")
         self.w_e = nn.Dense(cfg.hidden_dim, name="W_e")
         self.w_s = nn.Embed(cfg.num_letters, cfg.hidden_dim, name="W_s")
         self.enc_layers = [
@@ -324,7 +445,7 @@ class ProteinMPNN(nn.Module):
 
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
+@functools.partial(jax.jit, static_argnames=("model", "backbone_noise"))
 def score_sequences(
     model: ProteinMPNN,
     params,
@@ -335,6 +456,8 @@ def score_sequences(
     chain_labels: Array,
     decoding_order: Array,
     score_mask: Array | None = None,
+    backbone_noise: float = 0.0,
+    noise_key: Array | None = None,
 ):
     """Per-sequence NLL under one teacher-forced decoding order.
 
@@ -342,8 +465,15 @@ def score_sequences(
     (`ProteinMPNN/protein_mpnn_run.py`, `_scores` helper): score =
     mean over scored positions of -log p(s_i | s_<i(order), structure).
     `score_mask` restricts scoring (the reference uses mask * chain_M).
+    `backbone_noise` adds iid Gaussian noise to the input coordinates
+    (the reference's `--backbone_noise` / `ProteinFeatures.augment_eps`,
+    `protein_mpnn_utils.py:943-944`); requires `noise_key`.
     Returns {'log_probs' [B,N,21], 'nll' [B,N], 'score' [B]}.
     """
+    if backbone_noise > 0.0:
+        if noise_key is None:
+            raise ValueError("backbone_noise > 0 requires noise_key")
+        x = x + backbone_noise * jax.random.normal(noise_key, x.shape, x.dtype)
     lp = model.apply(
         {"params": params}, x, seq, mask, residue_idx, chain_labels,
         decoding_order,
@@ -450,7 +580,11 @@ def _tie_contiguous_order(decoding_order: Array, tie_rep: Array) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "temperature", "omit_x")
+    jax.jit,
+    static_argnames=(
+        "model", "temperature", "omit_x", "pssm_multi",
+        "pssm_bias_flag", "pssm_log_odds_flag", "backbone_noise",
+    ),
 )
 def sample_sequences(
     model: ProteinMPNN,
@@ -471,6 +605,13 @@ def sample_sequences(
     tie_rep: Array | None = None,
     tied_beta: Array | None = None,
     decoding_order: Array | None = None,
+    pssm_coef: Array | None = None,
+    pssm_bias: Array | None = None,
+    pssm_multi: float = 0.0,
+    pssm_log_odds_mask: Array | None = None,
+    pssm_bias_flag: bool = False,
+    pssm_log_odds_flag: bool = False,
+    backbone_noise: float | None = None,
 ) -> Dict[str, Array]:
     """Autoregressive sampling. Returns {'seq': [B, N], 'log_probs': ...}.
 
@@ -492,6 +633,22 @@ def sample_sequences(
       rearranged so groups decode contiguously (reference ``tied_sample``).
     * ``decoding_order`` [B, N]: explicit order override (reference
       ``randn`` argument); default draws the same argsort-noise order.
+    * ``pssm_coef`` [B, N] + ``pssm_bias`` [B, N, 21] + ``pssm_multi``
+      (``--pssm_bias_flag``): probability-simplex blend
+      ``(1 - multi*coef)*p + multi*coef*pssm_bias`` applied AFTER the
+      softmax (`protein_mpnn_utils.py` sample, pssm_bias_flag branch) —
+      not expressible as a logit bias, so this path samples from
+      ``log(probs)``.
+    * ``pssm_log_odds_mask`` [B, N, 21] 0/1 (``--pssm_log_odds_flag``):
+      multiplicative prob masking with the reference's 0.001 leakage,
+      ``p' = (p*m + 0.001*p) / sum``.
+    * ``backbone_noise``: iid Gaussian coordinate augmentation, the
+      reference's ``--backbone_noise`` / ``ProteinFeatures.augment_eps``
+      (`protein_mpnn_utils.py:943-944`).
+
+    When either pssm flag is set, ``omit_aa_mask`` is applied AFTER the
+    pssm ops as the reference does (zero + renormalize), so pssm mass
+    cannot leak back onto banned letters.
 
     fixed_mask/input_seq implement partial redesign (the reference CLI's
     fixed-positions feature): fixed positions keep their input token and
@@ -503,7 +660,13 @@ def sample_sequences(
     trade).
     """
     b, n = mask.shape
-    key_order, key_scan = jax.random.split(key)
+    key_order, key_scan, key_noise = jax.random.split(key, 3)
+    if backbone_noise is None:
+        # The config's augment_eps (reference model kwarg); flax modules
+        # are pure, so the noise is drawn here with an explicit key.
+        backbone_noise = model.cfg.augment_eps
+    if backbone_noise > 0.0:
+        x = x + backbone_noise * jax.random.normal(key_noise, x.shape, x.dtype)
     design_mask = mask
     if fixed_mask is not None:
         design_mask = mask * (1.0 - fixed_mask)
@@ -525,8 +688,10 @@ def sample_sequences(
     if bias_aa is not None:
         gbias = gbias + bias_aa / temperature
 
+    use_pssm = pssm_bias_flag or pssm_log_odds_flag
+
     def step(carry, t):
-        seq, committed, k = carry
+        seq, committed, all_probs, k = carry
         k, sub = jax.random.split(k)
         logits = model.apply(
             {"params": params},
@@ -554,30 +719,69 @@ def sample_sequences(
         pos_logits = pos_logits / temperature + gbias
         if bias_by_res is not None:
             pos_logits = pos_logits + take_pos(bias_by_res) / temperature
-        if omit_aa_mask is not None:
-            pos_logits = pos_logits + take_pos(omit_aa_mask) * -1e8
-        tok = jax.random.categorical(sub, pos_logits, axis=-1)
+        if not use_pssm:
+            if omit_aa_mask is not None:
+                pos_logits = pos_logits + take_pos(omit_aa_mask) * -1e8
+            probs = jax.nn.softmax(pos_logits, axis=-1)
+            tok = jax.random.categorical(sub, pos_logits, axis=-1)
+        else:
+            # The pssm ops act on the probability simplex (reference
+            # sample(), pssm branches): convex blend then multiplicative
+            # masking — neither is a logit bias, so sample from
+            # log(probs) after applying them in the reference's order.
+            probs = jax.nn.softmax(pos_logits, axis=-1)
+            if pssm_bias_flag:
+                coef = jnp.take_along_axis(pssm_coef, pos[:, None], axis=1)
+                pb = take_pos(pssm_bias)
+                w = pssm_multi * coef  # [B, 1]
+                probs = (1.0 - w) * probs + w * pb
+            if pssm_log_odds_flag:
+                lm = take_pos(pssm_log_odds_mask)
+                pm = probs * lm + probs * 1e-3
+                probs = pm / jnp.sum(pm, axis=-1, keepdims=True)
+            if omit_aa_mask is not None:
+                pm = probs * (1.0 - take_pos(omit_aa_mask))
+                probs = pm / jnp.maximum(
+                    jnp.sum(pm, axis=-1, keepdims=True), 1e-30
+                )
+            tok = jax.random.categorical(
+                sub, jnp.log(jnp.maximum(probs, 1e-36)), axis=-1
+            )
 
         active = ~jnp.take_along_axis(committed, pos[:, None], axis=1)[:, 0]
         write = group & active[:, None]
         if fixed_mask is not None:
             write = write & (fixed_mask < 0.5)
         seq = jnp.where(write, tok[:, None], seq)
+        # Per-step sampling distribution at every written position — the
+        # reference's `all_probs` output (`--save_probs`).
+        all_probs = jnp.where(
+            write[:, :, None], probs.astype(jnp.float32)[:, None, :], all_probs
+        )
         committed = committed | (group & active[:, None])
-        return (seq, committed, k), None
+        return (seq, committed, all_probs, k), None
 
     seq0 = (
         jnp.zeros((b, n), jnp.int32) if input_seq is None else input_seq
     )
     committed0 = jnp.zeros((b, n), bool)
-    (seq, _, _), _ = jax.lax.scan(
-        step, (seq0, committed0, key_scan), jnp.arange(n)
+    probs0 = jnp.zeros((b, n, model.cfg.num_letters), jnp.float32)
+    (seq, _, all_probs, _), _ = jax.lax.scan(
+        step, (seq0, committed0, probs0, key_scan), jnp.arange(n)
     )
 
     log_probs = model.apply(
         {"params": params}, x, seq, mask, residue_idx, chain_labels, decoding_order
     )
-    return {"seq": seq, "log_probs": log_probs, "decoding_order": decoding_order}
+    # Zero probs outside designed positions — the reference scatters
+    # chain_mask_gathered * probs, so padding/fixed rows stay zero.
+    all_probs = all_probs * design_mask[:, :, None]
+    return {
+        "seq": seq,
+        "log_probs": log_probs,
+        "decoding_order": decoding_order,
+        "probs": all_probs,
+    }
 
 
 def seq_to_string(seq: Array, mask: Array) -> str:

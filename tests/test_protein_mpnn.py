@@ -134,6 +134,65 @@ class TestSampling:
         )
         np.testing.assert_array_equal(np.asarray(out["seq"]), np.asarray(out2["seq"]))
 
+    def test_backbone_noise(self, model_and_params):
+        """backbone_noise (reference --backbone_noise /
+        ProteinFeatures.augment_eps, protein_mpnn_utils.py:943-944):
+        eps=0 is a no-op; eps>0 perturbs the conditionals but stays
+        deterministic for a fixed key."""
+        model, params = model_and_params
+        n = 20
+        x = backbone_x(n)
+        mask = jnp.ones((1, n))
+        ridx = jnp.arange(n, dtype=jnp.int32)[None]
+        chains = jnp.zeros((1, n), jnp.int32)
+        kw = dict(temperature=0.5)
+        base = sample_sequences(
+            model, params, jax.random.PRNGKey(4), x, mask, ridx, chains,
+            backbone_noise=0.0, **kw)
+        noisy = sample_sequences(
+            model, params, jax.random.PRNGKey(4), x, mask, ridx, chains,
+            backbone_noise=0.3, **kw)
+        noisy2 = sample_sequences(
+            model, params, jax.random.PRNGKey(4), x, mask, ridx, chains,
+            backbone_noise=0.3, **kw)
+        assert np.abs(
+            np.asarray(base["log_probs"]) - np.asarray(noisy["log_probs"])
+        ).max() > 1e-4
+        np.testing.assert_array_equal(
+            np.asarray(noisy["seq"]), np.asarray(noisy2["seq"]))
+
+        from se3_diffusion_tpu.models.protein_mpnn import score_sequences
+        order = jnp.tile(jnp.arange(n)[None], (1, 1))
+        s0 = score_sequences(model, params, x, base["seq"], mask, ridx,
+                             chains, order)
+        s1 = score_sequences(model, params, x, base["seq"], mask, ridx,
+                             chains, order, backbone_noise=0.3,
+                             noise_key=jax.random.PRNGKey(5))
+        assert np.abs(
+            np.asarray(s0["score"]) - np.asarray(s1["score"])).max() > 1e-6
+
+    def test_sample_probs_output(self, model_and_params):
+        """The per-step probs output (reference --save_probs): rows at
+        designed positions are distributions; fixed/padded rows are 0."""
+        model, params = model_and_params
+        n = 20
+        x = backbone_x(n)
+        mask = jnp.ones((1, n)).at[0, -4:].set(0.0)
+        ridx = jnp.arange(n, dtype=jnp.int32)[None]
+        chains = jnp.zeros((1, n), jnp.int32)
+        fixed = jnp.zeros((1, n)).at[0, :3].set(1.0)
+        out = sample_sequences(
+            model, params, jax.random.PRNGKey(7), x, mask, ridx, chains,
+            temperature=0.7, fixed_mask=fixed,
+            input_seq=jnp.full((1, n), 5, jnp.int32),
+        )
+        probs = np.asarray(out["probs"])
+        assert probs.shape == (1, n, 21)
+        np.testing.assert_allclose(probs[0, :3], 0.0)   # fixed rows
+        np.testing.assert_allclose(probs[0, -4:], 0.0)  # padded rows
+        np.testing.assert_allclose(
+            probs[0, 3:-4].sum(-1), 1.0, atol=1e-5)
+
     def test_designer_adapter(self, model_and_params):
         model, params = model_and_params
         atom37, _ = build_backbone(16)

@@ -743,6 +743,73 @@ def test_protein_mpnn_logits_parity(ref):
     )
 
 
+def test_protein_mpnn_ca_only_parity(ref):
+    """CA-only model (reference CLI `--ca_only`, `CA_ProteinFeatures`
+    `protein_mpnn_utils.py:719-897`): converted random weights must give
+    the same teacher-forced log-probs. Step lengths sit inside the
+    3.6<|dCA|<4.0 chain-continuity window except two planted breaks (a
+    2 A compression and a 9 A jump), which the gate zeroes EXACTLY on
+    both sides — near-window step lengths are deliberately avoided
+    because a noise-level cross product flips the sign convention of the
+    reference's quaternion feature (sign(R21-R12) of an ~1e-8 value),
+    making bitwise parity ill-posed at degenerate frames (an instability
+    the reference itself has). A masked tail exercises the padded-row
+    path."""
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.interop.mpnn_convert import convert_mpnn_state_dict
+    from se3_diffusion_tpu.models.protein_mpnn import MPNNConfig, ProteinMPNN
+
+    cfg = MPNNConfig(k_neighbors=16, augment_eps=0.0, ca_only=True)
+    torch.manual_seed(21)
+    ref_model = ref.mpnn.ProteinMPNN(
+        num_letters=cfg.num_letters, node_features=cfg.node_features,
+        edge_features=cfg.edge_features, hidden_dim=cfg.hidden_dim,
+        num_encoder_layers=cfg.num_encoder_layers,
+        num_decoder_layers=cfg.num_decoder_layers,
+        k_neighbors=cfg.k_neighbors, augment_eps=0.0, dropout=0.0,
+        ca_only=True,
+    )
+    ref_model.eval()
+    params = convert_mpnn_state_dict(ref_model.state_dict(), cfg)
+    model = ProteinMPNN(cfg)
+
+    b, n = 2, 40
+    rng = np.random.default_rng(31)
+    steps = rng.normal(size=(b, n, 3))
+    steps = steps / np.linalg.norm(steps, axis=-1, keepdims=True)
+    steps *= rng.uniform(3.65, 3.95, size=(b, n, 1))
+    steps[:, 10] *= 2.0 / 3.8   # planted break: too short
+    steps[:, 25] *= 9.0 / 3.8   # planted break: too long
+    ca = np.cumsum(steps, axis=1).astype(np.float32)   # [B, N, 3]
+    seq = rng.integers(0, 21, size=(b, n))
+    mask = np.ones((b, n), np.float32)
+    mask[1, -6:] = 0.0
+    residue_idx = np.tile(np.arange(n)[None], (b, 1))
+    chain_labels = np.zeros((b, n), np.int64)
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    decoding_order = np.argsort((mask + 1e-4) * np.abs(randn), axis=-1)
+
+    with torch.no_grad():
+        ref_lp = ref_model(
+            torch.tensor(ca), torch.tensor(seq), torch.tensor(mask),
+            torch.tensor(mask), torch.tensor(residue_idx),
+            torch.tensor(chain_labels), torch.tensor(randn),
+            use_input_decoding_order=True,
+            decoding_order=torch.tensor(decoding_order),
+        ).numpy()
+
+    ours = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(ca), jnp.asarray(seq),
+            jnp.asarray(mask), jnp.asarray(residue_idx),
+            jnp.asarray(chain_labels), jnp.asarray(decoding_order),
+        )
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(ours[valid], ref_lp[valid], atol=2e-4, rtol=1e-3)
+
+
 def _mpnn_pair(ref, seed=7, k=24):
     """Random-init reference ProteinMPNN + converted flax params."""
     from se3_diffusion_tpu.interop.mpnn_convert import convert_mpnn_state_dict
@@ -933,6 +1000,145 @@ def test_protein_mpnn_per_position_omit():
     assert (seq[:, banned_positions] >= 10).all()
     # Un-banned positions still explore the full alphabet head.
     assert (seq < 10).any()
+
+
+def test_protein_mpnn_pssm_bias_parity(ref):
+    """PSSM bias sampling must match the reference `sample` pssm branch
+    (`protein_mpnn_utils.py`, pssm_bias_flag): probs are blended on the
+    simplex, `(1-multi*coef)*p + multi*coef*pssm_bias`, AFTER the
+    softmax. With multi=1 and one-hot bias rows at coef=1 positions the
+    blend is exactly the bias row, so tokens are deterministic and both
+    samplers must agree exactly; coef=0 positions reduce to greedy
+    decoding at T=1e-3. The per-step `probs` output is compared too
+    (the reference CLI's --save_probs payload)."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import sample_sequences
+
+    cfg, ref_model, model, params = _mpnn_pair(ref)
+    rng = np.random.default_rng(17)
+    b, n = 2, 36
+    inp = _mpnn_inputs(rng, b, n)
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    order = np.argsort((inp["mask"] + 1e-4) * np.abs(randn), axis=-1)
+
+    pssm_letters = rng.integers(0, 20, size=(b, n))
+    pssm_bias = np.zeros((b, n, 21), np.float32)
+    pssm_bias[np.arange(b)[:, None], np.arange(n)[None], pssm_letters] = 1.0
+    pssm_coef = np.zeros((b, n), np.float32)
+    pssm_coef[:, ::2] = 1.0  # pssm pins even positions; odd stay greedy
+    temp = 1e-3
+
+    with torch.no_grad():
+        got_ref = ref_model.sample(
+            torch.tensor(inp["x"]), torch.tensor(randn),
+            torch.zeros(b, n, dtype=torch.long),
+            torch.tensor(inp["mask"]),
+            torch.tensor(inp["chain_labels"]),
+            torch.tensor(inp["residue_idx"]),
+            mask=torch.tensor(inp["mask"]), temperature=temp,
+            omit_AAs_np=np.zeros(21, np.float32),
+            bias_AAs_np=np.zeros(21, np.float32),
+            chain_M_pos=torch.tensor(inp["mask"]),
+            omit_AA_mask=None,
+            pssm_coef=torch.tensor(pssm_coef),
+            pssm_bias=torch.tensor(pssm_bias),
+            pssm_multi=1.0, pssm_log_odds_flag=False,
+            pssm_log_odds_mask=None, pssm_bias_flag=True,
+            bias_by_res=torch.zeros(b, n, 21),
+        )
+
+    out = sample_sequences(
+        model, params, jax.random.PRNGKey(0),
+        jnp.asarray(inp["x"]), jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["residue_idx"]), jnp.asarray(inp["chain_labels"]),
+        temperature=temp, omit_x=False,
+        pssm_coef=jnp.asarray(pssm_coef), pssm_bias=jnp.asarray(pssm_bias),
+        pssm_multi=1.0, pssm_bias_flag=True,
+        decoding_order=jnp.asarray(order),
+    )
+    ours = np.asarray(out["seq"])
+    np.testing.assert_array_equal(ours, got_ref["S"].numpy())
+    assert (ours[:, ::2] == pssm_letters[:, ::2]).all()
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]), got_ref["probs"].numpy(), atol=1e-4
+    )
+
+
+def test_protein_mpnn_pssm_log_odds_and_omit_order_parity(ref):
+    """pssm_log_odds masking (`p' = (p*m + 0.001p)/sum`) plus the
+    post-pssm per-position omit renormalization must match the
+    reference's operator ORDER: softmax -> pssm blend -> log-odds mask
+    -> omit mask -> multinomial. The pssm bias (multi=1, 0.9-one-hot +
+    0.1-uniform rows) concentrates ~0.9999 mass on the mask-allowed
+    letter after the leakage term, so sampling is deterministic at the
+    fixed seeds and the per-step probs carry non-trivial leakage values
+    that any reordering or leakage-constant mistake would change."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.models.protein_mpnn import sample_sequences
+
+    cfg, ref_model, model, params = _mpnn_pair(ref, seed=13)
+    rng = np.random.default_rng(29)
+    b, n = 2, 30
+    inp = _mpnn_inputs(rng, b, n)
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    order = np.argsort((inp["mask"] + 1e-4) * np.abs(randn), axis=-1)
+
+    allowed = rng.integers(0, 20, size=(b, n))
+    onehot = np.zeros((b, n, 21), np.float32)
+    onehot[np.arange(b)[:, None], np.arange(n)[None], allowed] = 1.0
+    pssm_bias = 0.9 * onehot + 0.1 / 21.0
+    pssm_coef = np.ones((b, n), np.float32)
+    log_odds_mask = onehot.copy()
+    # Per-position omit of one letter != allowed: must be applied AFTER
+    # the pssm ops (zero + renorm), removing its leakage mass.
+    omit_mask = np.zeros((b, n, 21), np.float32)
+    omit_letters = (allowed + 1) % 20
+    omit_mask[np.arange(b)[:, None], np.arange(n)[None], omit_letters] = 1.0
+    temp = 0.5
+
+    with torch.no_grad():
+        got_ref = ref_model.sample(
+            torch.tensor(inp["x"]), torch.tensor(randn),
+            torch.zeros(b, n, dtype=torch.long),
+            torch.tensor(inp["mask"]),
+            torch.tensor(inp["chain_labels"]),
+            torch.tensor(inp["residue_idx"]),
+            mask=torch.tensor(inp["mask"]), temperature=temp,
+            omit_AAs_np=np.zeros(21, np.float32),
+            bias_AAs_np=np.zeros(21, np.float32),
+            chain_M_pos=torch.tensor(inp["mask"]),
+            omit_AA_mask=torch.tensor(omit_mask),
+            pssm_coef=torch.tensor(pssm_coef),
+            pssm_bias=torch.tensor(pssm_bias),
+            pssm_multi=1.0,
+            pssm_log_odds_flag=True,
+            pssm_log_odds_mask=torch.tensor(log_odds_mask),
+            pssm_bias_flag=True,
+            bias_by_res=torch.zeros(b, n, 21),
+        )
+
+    out = sample_sequences(
+        model, params, jax.random.PRNGKey(2),
+        jnp.asarray(inp["x"]), jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["residue_idx"]), jnp.asarray(inp["chain_labels"]),
+        temperature=temp, omit_x=False,
+        omit_aa_mask=jnp.asarray(omit_mask),
+        pssm_coef=jnp.asarray(pssm_coef), pssm_bias=jnp.asarray(pssm_bias),
+        pssm_multi=1.0, pssm_bias_flag=True,
+        pssm_log_odds_mask=jnp.asarray(log_odds_mask),
+        pssm_log_odds_flag=True,
+        decoding_order=jnp.asarray(order),
+    )
+    ours = np.asarray(out["seq"])
+    np.testing.assert_array_equal(ours, got_ref["S"].numpy())
+    assert (ours == allowed).all()  # mask-allowed letter always wins
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]), got_ref["probs"].numpy(), atol=1e-4
+    )
 
 
 def test_protein_mpnn_unconditional_probs_parity(ref):
