@@ -790,8 +790,18 @@ def seq_to_string(seq: Array, mask: Array) -> str:
     )
 
 
-def make_sequence_designer(model: ProteinMPNN, params, temperature: float = 0.1):
-    """Adapts ProteinMPNN to the InferenceRunner SequenceDesigner protocol."""
+def pssm_log_odds_mask_from(pssm_log_odds: Array, threshold: float) -> Array:
+    """[..., 21] log-odds -> 0/1 mask (the reference CLI's
+    `--pssm_threshold` host-side step, `protein_mpnn_run.py:230`)."""
+    return (pssm_log_odds > threshold).astype(jnp.float32)
+
+
+def make_sequence_designer(model: ProteinMPNN, params, temperature: float = 0.1,
+                           **sample_kwargs):
+    """Adapts ProteinMPNN to the InferenceRunner SequenceDesigner protocol.
+
+    Extra keyword arguments (bias_aa, omit_aa, pssm_*, backbone_noise, ...)
+    are forwarded to `sample_sequences` on every call."""
     import numpy as np
 
     def designer(atom37: "np.ndarray", num_seqs: int, seed: int):
@@ -803,7 +813,7 @@ def make_sequence_designer(model: ProteinMPNN, params, temperature: float = 0.1)
         chains = jnp.zeros((num_seqs, n), jnp.int32)
         out = sample_sequences(
             model, params, jax.random.PRNGKey(seed), x, mask, residue_idx,
-            chains, temperature=temperature,
+            chains, temperature=temperature, **sample_kwargs,
         )
         return [
             seq_to_string(np.asarray(out["seq"][i]), np.asarray(mask[i]))
