@@ -55,6 +55,13 @@ def _load() -> ctypes.CDLL:
             lib.tm_score_pair.restype = None
             lib.aligned_rmsd.argtypes = [f32p, f32p, ctypes.c_int]
             lib.aligned_rmsd.restype = ctypes.c_double
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.tm_align_pair.argtypes = [
+                f32p, ctypes.c_int, f32p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                i32p,
+            ]
+            lib.tm_align_pair.restype = None
             _lib = lib
     return _lib
 
@@ -67,6 +74,33 @@ def tm_score_pair(pos_1: np.ndarray, pos_2: np.ndarray) -> Tuple[float, float]:
     t1 = ctypes.c_double()
     t2 = ctypes.c_double()
     lib.tm_score_pair(a, len(a), b, len(b), ctypes.byref(t1), ctypes.byref(t2))
+    return t1.value, t2.value
+
+
+def tm_align_pair(
+    pos_1: np.ndarray, pos_2: np.ndarray, return_alignment: bool = False
+):
+    """Sequence-independent TM-align (Zhang & Skolnick 2005).
+
+    Unlike `tm_score_pair` (identity alignment, the scTM setting), this
+    searches over residue correspondences — the operation the reference's
+    tmtools performs (`analysis/metrics.py:44-46`) and the one required for
+    diversity clustering between chains of different lengths.
+
+    Returns (tm normalized by len(pos_1), tm normalized by len(pos_2)),
+    plus the per-residue alignment (len(pos_1) int array, -1 = gap) when
+    return_alignment is set.
+    """
+    lib = _load()
+    a = np.ascontiguousarray(pos_1, dtype=np.float32)
+    b = np.ascontiguousarray(pos_2, dtype=np.float32)
+    t1 = ctypes.c_double()
+    t2 = ctypes.c_double()
+    ali = np.full(len(a), -1, dtype=np.int32)
+    lib.tm_align_pair(a, len(a), b, len(b), ctypes.byref(t1),
+                      ctypes.byref(t2), ali)
+    if return_alignment:
+        return t1.value, t2.value, ali
     return t1.value, t2.value
 
 

@@ -99,6 +99,21 @@ class InferenceRunner:
             # only in memory).
             df.to_csv(os.path.join(output_dir, "metrics.csv"), index=False)
         summary = dict(metrics_lib.diversity(ca_traces))
+        # Same-length-bucket diversity alongside the global number: the
+        # global clustering pairs chains of different lengths (needs the
+        # TM-align correspondence search, `metrics.calc_tm_align`); the
+        # per-bucket values are the conservative view and what to compare
+        # across runs whose length grids differ.
+        if len(df) and "length" in df.columns:
+            per_len = {}
+            for length in sorted(df["length"].unique()):
+                idx = [k for k, r in enumerate(rows) if r["length"] == length]
+                if len(idx) >= 2:
+                    per_len[str(int(length))] = metrics_lib.diversity(
+                        [ca_traces[k] for k in idx]
+                    )["diversity"]
+            if per_len:
+                summary["diversity_by_length"] = per_len
         if designable:
             summary["designable_fraction"] = float(np.mean(designable))
         import json
