@@ -1,5 +1,11 @@
 # Test on CPU with the axon TPU tunnel bypassed (see tests/conftest.py).
+# Sharded across fresh pytest processes: one monolithic process
+# reproducibly SIGABRTs from accumulated XLA state (~190 tests in);
+# see scripts/run_tests.sh.
 test:
+	bash scripts/run_tests.sh
+
+test-monolithic:
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q
 
 test-fast:
@@ -8,4 +14,4 @@ test-fast:
 bench:
 	python bench.py
 
-.PHONY: test test-fast bench
+.PHONY: test test-monolithic test-fast bench
