@@ -271,6 +271,13 @@ class CAProteinFeatures(nn.Module):
         d = jnp.sqrt(
             jnp.sum((ca[:, :, None] - ca[:, None, :]) ** 2, -1) + 1e-6
         )
+        # Masked pairs -> 1e6 before top_k (same convention as the non-CA
+        # ProteinFeatures above). The reference's CA `_dist` instead fills
+        # with the row's max VALID distance, so when a padded row has fewer
+        # than k valid residues the selected masked edges get RBF(D_max)
+        # there vs zero RBFs here; both variants are zeroed by mask_attend
+        # everywhere downstream except the decoder's mask_fw leak on such
+        # short rows. Deliberate divergence, kept for consistency.
         d_masked = jnp.where(mask2d > 0, d, 1e6)
         k = min(cfg.k_neighbors, n)
         neg_d, e_idx = jax.lax.top_k(-d_masked, k)
@@ -631,6 +638,11 @@ def sample_sequences(
       group logits are the tied_beta-weighted sum over members, one token
       is drawn and committed to every member, and the decoding order is
       rearranged so groups decode contiguously (reference ``tied_sample``).
+      Known deviation: per-position arrays (``pssm_*``, ``bias_by_res``,
+      ``omit_aa_mask``) are gathered at the group's first-decoded member,
+      while the reference's ``tied_sample`` gathers at the last member of
+      its ``t_list``; identical whenever the rows agree within a group
+      (the homo-oligomer case these options exist for).
     * ``decoding_order`` [B, N]: explicit order override (reference
       ``randn`` argument); default draws the same argsort-noise order.
     * ``pssm_coef`` [B, N] + ``pssm_bias`` [B, N, 21] + ``pssm_multi``
@@ -660,13 +672,27 @@ def sample_sequences(
     trade).
     """
     b, n = mask.shape
-    key_order, key_scan, key_noise = jax.random.split(key, 3)
+    if pssm_bias_flag and (pssm_coef is None or pssm_bias is None):
+        raise ValueError(
+            "pssm_bias_flag=True requires pssm_coef [B,N] and "
+            "pssm_bias [B,N,21]"
+        )
+    if pssm_log_odds_flag and pssm_log_odds_mask is None:
+        raise ValueError(
+            "pssm_log_odds_flag=True requires pssm_log_odds_mask [B,N,21]"
+        )
     if backbone_noise is None:
         # The config's augment_eps (reference model kwarg); flax modules
         # are pure, so the noise is drawn here with an explicit key.
         backbone_noise = model.cfg.augment_eps
     if backbone_noise > 0.0:
+        # The noise key is only split off when noise is actually drawn, so
+        # backbone_noise=0 callers keep the original 2-way key stream
+        # (seed-pinned results from before this option stay reproducible).
+        key_order, key_scan, key_noise = jax.random.split(key, 3)
         x = x + backbone_noise * jax.random.normal(key_noise, x.shape, x.dtype)
+    else:
+        key_order, key_scan = jax.random.split(key)
     design_mask = mask
     if fixed_mask is not None:
         design_mask = mask * (1.0 - fixed_mask)
