@@ -160,6 +160,40 @@ def time_ipa(cfg, batch=4, num_res=384, iters=20):
     }
 
 
+def detect_contention():
+    """Other live TPU-lease processes at bench time (train/sample jobs).
+
+    The axon relay time-slices the chip between python processes, so a
+    bench captured while a train job runs under-reads by 3-6x (round-4
+    VERDICT weak #1: 6.78 steps/s recorded vs 45.1 uncontended). The
+    snapshot protocol is to stop jobs first; this label makes a polluted
+    record self-describing if that ever slips.
+    """
+    import glob
+
+    markers = ("scripts/train.py", "scripts/sample.py", "benchmark_sweep",
+               "num_t_tradeoff", "post_train_pipeline")
+    me = os.getpid()
+    others = []
+    for d in glob.glob("/proc/[0-9]*"):
+        try:
+            pid = int(os.path.basename(d))
+            if pid == me:
+                continue
+            with open(os.path.join(d, "cmdline"), "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except (OSError, ValueError):
+            continue
+        if any(m in cmd for m in markers):
+            others.append(f"{pid}: {cmd.strip()[:120]}")
+    return others
+
+
+# Last COMMITTED uncontended record (round 3, commit 1db7a0ac) — used only
+# to flag a suspicious reading, never to report.
+_REFERENCE_TRAIN_STEPS_PER_SEC = 45.1
+
+
 def main():
     import jax
 
@@ -186,11 +220,14 @@ def main():
     model, params = init_score_network(jax.random.PRNGKey(0), cfg.model, 8)
 
     n_chips = max(1, len(jax.devices()))
+    contenders = detect_contention()
     detail = {
         "dtype": dtype,
         "num_t": num_t,
         "n_chips": n_chips,
         "backend": jax.default_backend(),
+        "contended": bool(contenders),
+        "contended_processes": contenders,
     }
 
     headline = time_sampler(model, params, diffuser, num_res, batch, num_t)
@@ -213,6 +250,12 @@ def main():
     for k in list(detail):
         if k.startswith("backbones_per_min_len"):
             detail[k.replace("_len", "_chip_len")] = detail[k] / n_chips
+
+    sps = detail.get("train_steps_per_sec")
+    if sps is not None:
+        detail["suspect_contention"] = bool(
+            sps < 0.7 * _REFERENCE_TRAIN_STEPS_PER_SEC
+        )
 
     if detail_on:  # BENCH_DETAIL=0 probes must not clobber the full record
         with open(
