@@ -9,17 +9,19 @@
 #   lengths {128, 320, 512}, 8 samples each.
 # Aggregate with scripts/num_t_aggregate.py -> results/num_t_tradeoff.json.
 #
-# Usage: bash scripts/num_t_tradeoff.sh ckpt/synth_r5_v7 [results/num_t]
+# Usage: bash scripts/num_t_tradeoff.sh ckpt/synth_r5_v7 [results/num_t] [config.yaml]
 # One TPU process at a time (axon lease); ~12 compiles dominate wall time.
 set -euo pipefail
 WEIGHTS=${1:?weights dir}
 OUT=${2:-results/num_t}
+CONFIG=${3:-configs/synthetic_tpu_v7.yaml}
 for NT in 50 100 200 500; do
   for MODE in sde ode; do
     FLAGS=""
     if [ "$MODE" = ode ]; then FLAGS="--probability_flow"; fi
     echo "=== num_t=$NT $MODE"
     python scripts/sample.py \
+      --config "$CONFIG" \
       --weights "$WEIGHTS" \
       --min_length 128 --max_length 512 --length_step 192 \
       --samples_per_length 8 \
