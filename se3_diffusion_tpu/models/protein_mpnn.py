@@ -171,14 +171,25 @@ class ProteinFeatures(nn.Module):
         # reference :947-950).
         cb = -0.58273431 * avec + 0.56802827 * bvec - 0.54067466 * cvec + ca
 
-        # k-NN on Ca distances, masked pairs pushed to the far end.
+        # k-NN on Ca distances; masked pairs are filled with the row's max
+        # VALID distance (the reference `_dist` convention, :916-924).
+        # The fill value matters when a padded row has fewer than k valid
+        # residues: the selected masked edges then carry RBF(D_max) rather
+        # than RBF(huge)=0, and those leak into the decoder through mask_fw
+        # (which only masks the source row) — with a 1e6 fill, short-row
+        # log-probs diverged from the reference by up to ~0.5. WHICH of the
+        # tied-at-D_max edges top_k returns is unspecified in torch (its CPU
+        # pick can even drop a valid neighbor whose distance equals D_max),
+        # so bitwise parity in that regime is ill-posed; lax.top_k's stable
+        # lowest-index tie-break deterministically keeps every valid
+        # neighbor first (see test_protein_mpnn_short_row_knn).
         mask2d = mask[:, :, None] * mask[:, None, :]
-        d = jnp.sqrt(
+        d = mask2d * jnp.sqrt(
             jnp.sum((ca[:, :, None] - ca[:, None, :]) ** 2, -1) + 1e-6
         )
-        d_masked = jnp.where(mask2d > 0, d, 1e6)
+        d_adjust = d + (1.0 - mask2d) * jnp.max(d, axis=-1, keepdims=True)
         k = min(cfg.k_neighbors, x.shape[1])
-        neg_d, e_idx = jax.lax.top_k(-d_masked, k)
+        neg_d, e_idx = jax.lax.top_k(-d_adjust, k)
         d_neighbors = -neg_d
 
         atoms = {"N": n_atoms, "Ca": ca, "C": c, "O": o, "Cb": cb}
@@ -267,20 +278,17 @@ class CAProteinFeatures(nn.Module):
         ca = x[:, :, 1] if x.ndim == 4 else x  # [B, N, 3]
         b, n = ca.shape[:2]
 
+        # Masked pairs filled with the row's max VALID distance before
+        # top_k (reference CA `_dist`, :818-826 — same convention as the
+        # non-CA ProteinFeatures above); keeps short padded rows
+        # (valid_count < k) parity-exact, see the note there.
         mask2d = mask[:, :, None] * mask[:, None, :]
-        d = jnp.sqrt(
+        d = mask2d * jnp.sqrt(
             jnp.sum((ca[:, :, None] - ca[:, None, :]) ** 2, -1) + 1e-6
         )
-        # Masked pairs -> 1e6 before top_k (same convention as the non-CA
-        # ProteinFeatures above). The reference's CA `_dist` instead fills
-        # with the row's max VALID distance, so when a padded row has fewer
-        # than k valid residues the selected masked edges get RBF(D_max)
-        # there vs zero RBFs here; both variants are zeroed by mask_attend
-        # everywhere downstream except the decoder's mask_fw leak on such
-        # short rows. Deliberate divergence, kept for consistency.
-        d_masked = jnp.where(mask2d > 0, d, 1e6)
+        d_adjust = d + (1.0 - mask2d) * jnp.max(d, axis=-1, keepdims=True)
         k = min(cfg.k_neighbors, n)
-        neg_d, e_idx = jax.lax.top_k(-d_masked, k)
+        neg_d, e_idx = jax.lax.top_k(-d_adjust, k)
         d_neighbors = -neg_d
 
         # Ca_0 / Ca_2: previous/next CA with zero boundary rows

@@ -1252,3 +1252,106 @@ def test_protein_mpnn_score_sequences_parity(ref):
     np.testing.assert_allclose(
         np.asarray(out["score"]), ref_scores, atol=2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("ca_only", [True, False])
+def test_protein_mpnn_short_row_knn(ref, ca_only):
+    """Padded rows with fewer valid residues than k_neighbors (the regime
+    the round-4 parity tests never exercised): the masked-pair fill must be
+    the row's max VALID distance (reference `_dist`, `protein_mpnn_utils.py
+    :818-826`/`:916-924`), so the selected masked edges carry RBF(D_max),
+    not RBF(huge)=0. Exact assertions: the k-NN *distances* match the
+    reference bitwise, and every valid neighbor is selected. The neighbor
+    *indices* are NOT asserted equal — the short row makes top_k tie at
+    D_max across all masked edges (plus any valid edge at D_max), and
+    torch.topk's pick among ties is implementation-defined (its CPU choice
+    can drop a valid neighbor in favor of masked edges); lax.top_k's stable
+    lowest-index tie-break keeps every valid neighbor deterministically.
+    The resulting log-prob divergence is tie-order noise, bounded loosely
+    here to quantify it (measured ~0.5 at 10 valid vs k=16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_diffusion_tpu.interop.mpnn_convert import convert_mpnn_state_dict
+    from se3_diffusion_tpu.models.protein_mpnn import MPNNConfig, ProteinMPNN
+
+    cfg = MPNNConfig(k_neighbors=16, augment_eps=0.0, ca_only=ca_only)
+    torch.manual_seed(21)
+    ref_model = ref.mpnn.ProteinMPNN(
+        num_letters=cfg.num_letters, node_features=cfg.node_features,
+        edge_features=cfg.edge_features, hidden_dim=cfg.hidden_dim,
+        num_encoder_layers=cfg.num_encoder_layers,
+        num_decoder_layers=cfg.num_decoder_layers,
+        k_neighbors=cfg.k_neighbors, augment_eps=0.0, dropout=0.0,
+        ca_only=ca_only,
+    )
+    ref_model.eval()
+    params = convert_mpnn_state_dict(ref_model.state_dict(), cfg)
+    model = ProteinMPNN(cfg)
+
+    b, n, n_valid = 2, 40, 10
+    rng = np.random.default_rng(77)
+    steps = rng.normal(size=(b, n, 3))
+    steps /= np.linalg.norm(steps, axis=-1, keepdims=True)
+    steps *= rng.uniform(3.65, 3.95, size=(b, n, 1))
+    ca = np.cumsum(steps, axis=1).astype(np.float32)
+    x = ca if ca_only else (
+        ca[:, :, None]
+        + rng.normal(scale=0.8, size=(b, n, 4, 3)).astype(np.float32)
+    )
+    seq = rng.integers(0, 21, size=(b, n))
+    mask = np.ones((b, n), np.float32)
+    mask[1, n_valid:] = 0.0  # row 1: 10 valid residues < k_neighbors = 16
+    residue_idx = np.tile(np.arange(n)[None], (b, 1))
+    chain_labels = np.zeros((b, n), np.int64)
+    randn = rng.normal(size=(b, n)).astype(np.float32)
+    decoding_order = np.argsort((mask + 1e-4) * np.abs(randn), axis=-1)
+
+    # k-NN selection parity on the short row: distances bitwise, all valid
+    # neighbors kept.
+    ca_t = torch.tensor(ca)
+    m_t = torch.tensor(mask)
+    mask_2d = m_t.unsqueeze(1) * m_t.unsqueeze(2)
+    d_ref = mask_2d * torch.sqrt(
+        torch.sum((ca_t.unsqueeze(1) - ca_t.unsqueeze(2)) ** 2, 3) + 1e-6
+    )
+    d_max, _ = torch.max(d_ref, -1, keepdim=True)
+    dn_ref, _ = torch.topk(
+        d_ref + (1.0 - mask_2d) * d_max, 16, dim=-1, largest=False
+    )
+    m2 = mask[:, :, None] * mask[:, None, :]
+    d = m2 * np.sqrt(
+        ((ca[:, :, None] - ca[:, None, :]) ** 2).sum(-1) + 1e-6
+    )
+    neg_d, e_idx = jax.lax.top_k(
+        jnp.asarray(-(d + (1.0 - m2) * d.max(-1, keepdims=True))), 16
+    )
+    np.testing.assert_allclose(
+        -np.asarray(neg_d), dn_ref.numpy(), atol=1e-6
+    )
+    for i in range(n_valid):
+        assert set(range(n_valid)) <= set(np.asarray(e_idx)[1, i].tolist())
+
+    with torch.no_grad():
+        ref_lp = ref_model(
+            torch.tensor(x), torch.tensor(seq), torch.tensor(mask),
+            torch.tensor(mask), torch.tensor(residue_idx),
+            torch.tensor(chain_labels), torch.tensor(randn),
+            use_input_decoding_order=True,
+            decoding_order=torch.tensor(decoding_order),
+        ).numpy()
+    ours = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(seq),
+            jnp.asarray(mask), jnp.asarray(residue_idx),
+            jnp.asarray(chain_labels), jnp.asarray(decoding_order),
+        )
+    )
+    # Full row: exact parity (no ties in play).
+    v0 = mask[0].astype(bool)
+    np.testing.assert_allclose(
+        ours[0][v0], ref_lp[0][v0], atol=2e-4, rtol=1e-3
+    )
+    # Short row: tie-order noise only — quantified bound, not bitwise.
+    v1 = mask[1].astype(bool)
+    assert np.abs(ours[1][v1] - ref_lp[1][v1]).max() < 1.5
