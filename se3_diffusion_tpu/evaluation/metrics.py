@@ -240,19 +240,26 @@ def diversity(
     alignment scTM score would systematically underestimate cross-length
     similarity and inflate cluster counts.
 
+    TM-align returns one score per normalization length; for unequal
+    chains the conventions disagree sharply (a short chain that matches a
+    subsegment of a long one scores high normalized by the short length,
+    low by the long). The published protocol's choice (MaxCluster) is not
+    reproducible offline, so both extremes are reported:
+      * diversity — links at max(tm_1, tm_2) >= cutoff (normalize by the
+        SHORTER chain): the aggressive convention; substructure matches
+        across lengths merge. The conservative headline.
+      * diversity_strict — links at min(tm_1, tm_2) >= cutoff (normalize
+        by the LONGER chain): cross-length merges require near-global
+        similarity.
+    The true MaxCluster number lies between. For same-length pairs the
+    two coincide.
+
     Args:
         ca_positions: list of [N_i, 3] CA traces (lengths may differ).
     """
     n = len(ca_positions)
     if n == 0:
         return {"diversity": 0.0, "num_clusters": 0, "num_samples": 0}
-    parent = list(range(n))
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
 
     # TM-align is ~0.2 s/pair at production lengths and the C call releases
     # the GIL, so the O(n^2) pair sweep runs on a thread pool.
@@ -268,13 +275,28 @@ def diversity(
                 pairs,
             )
         )
-    for (i, j), (tm_i, tm_j) in zip(pairs, scores):
-        if max(tm_i, tm_j) >= tm_cutoff:
-            parent[find(i)] = find(j)
-    clusters = len({find(i) for i in range(n)})
+
+    def cluster(link):
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for (i, j), (tm_i, tm_j) in zip(pairs, scores):
+            if link(tm_i, tm_j) >= tm_cutoff:
+                parent[find(i)] = find(j)
+        return len({find(i) for i in range(n)})
+
+    clusters = cluster(max)
+    clusters_strict = cluster(min)
     return {
         "diversity": clusters / n,
         "num_clusters": clusters,
+        "diversity_strict": clusters_strict / n,
+        "num_clusters_strict": clusters_strict,
         "num_samples": n,
     }
 
