@@ -88,9 +88,11 @@ def main(argv=None):
         )
     lines.append("")
     drop = 100.0 * (1.0 - last["loss"] / first["loss"])
+    word = "reduction" if drop >= 0 else "increase"
     lines.append(
         f"Total loss {fmt(first['loss'])} → {fmt(last['loss'])} "
-        f"({drop:.1f}% reduction).\n"
+        f"({abs(drop):.1f}% {word}; warm-started runs and loss-term "
+        f"changes can legitimately end higher than the first record).\n"
     )
 
     # Eval trajectory: from the eval_* keys logged into metrics.jsonl, or
