@@ -157,6 +157,16 @@ class ExperimentConfig:
     clash_loss_weight: float = 0.0
     clash_loss_margin: float = 3.8
     clash_loss_t_filter: float = 0.25
+    # Peptide-bond hinge penalty (framework addition; the reference's loss
+    # has no junction-geometry term — bond violations are only *measured*,
+    # via the AF2 `between_residue_bond_loss` port in
+    # `evaluation/violations.py`). Two-sided hinge^2 on the predicted
+    # C(i)-N(i+1) distance outside ideal 1.329 A +/- tolerance, excluding
+    # junctions that are genuinely broken in the ground truth (chain
+    # breaks are never penalized). Weight 0 disables (reference parity).
+    bond_loss_weight: float = 0.0
+    bond_loss_tolerance: float = 0.02
+    bond_loss_t_filter: float = 0.25
     use_wandb: bool = False
     # EMA parameter averaging (framework addition; the reference vendors
     # but never uses EMA). None disables; eval/sampling prefer the EMA

@@ -197,7 +197,49 @@ def framediff_loss(
     else:
         clash_loss = jnp.zeros_like(rot_loss)
 
-    final_loss = rot_loss + trans_loss + bb_atom_loss + dist_mat_loss + clash_loss
+    # --- peptide-bond hinge penalty (framework addition) ---------------------
+    # The reference's loss never supervises junction geometry directly (the
+    # bb-atom/pair-dist aux terms only pull atoms toward GT coordinates);
+    # ~6% of junctions in the v6b/v7 sweeps fall outside AF2's 12-sigma
+    # C-N tolerance (`evaluation/violations.py` port of openfold
+    # `between_residue_bond_loss`). Optional two-sided hinge^2 on the
+    # predicted C(i)-N(i+1) distance outside 1.329 A +/- tolerance
+    # (BETWEEN_RES_BOND_LENGTH_C_N, non-proline — diffusion batches carry
+    # no aatype). Junctions broken in the ground truth (multi-chain or
+    # gapped inputs) are excluded so faithful reconstruction is never
+    # penalized.
+    if cfg.bond_loss_weight > 0.0:
+        ideal_c_n = 1.329
+        pred_d_cn = quat_lib.safe_norm(
+            pred_atom37[:, :-1, 2] - pred_atom37[:, 1:, 0]
+        )
+        gt_d_cn = quat_lib.safe_norm(gt_atom37[:, :-1, 2] - gt_atom37[:, 1:, 0])
+        junction_mask = (
+            loss_mask[:, :-1]
+            * bb_mask[:, 1:]
+            * (jnp.abs(gt_d_cn - ideal_c_n) < 0.3).astype(jnp.float32)
+        )
+        bond_hinge = (
+            jnp.maximum(
+                jnp.abs(pred_d_cn - ideal_c_n) - cfg.bond_loss_tolerance, 0.0
+            )
+            ** 2
+        )
+        bond_loss = (bond_hinge * junction_mask).sum(-1) / (
+            junction_mask.sum(-1) + 1e-10
+        )
+        bond_loss = (
+            bond_loss
+            * cfg.bond_loss_weight
+            * (t < cfg.bond_loss_t_filter).astype(jnp.float32)
+        )
+    else:
+        bond_loss = jnp.zeros_like(rot_loss)
+
+    final_loss = (
+        rot_loss + trans_loss + bb_atom_loss + dist_mat_loss + clash_loss
+        + bond_loss
+    )
 
     def normalize(x):
         return (x * batch_loss_mask).sum() / (batch_loss_mask.sum() + 1e-10)
@@ -209,6 +251,7 @@ def framediff_loss(
         "bb_atom_loss": normalize(bb_atom_loss),
         "dist_mat_loss": normalize(dist_mat_loss),
         "clash_loss": normalize(clash_loss),
+        "bond_loss": normalize(bond_loss),
         "examples_per_step": jnp.asarray(batch_size, jnp.float32),
         "res_length": bb_mask.sum(-1).mean(),
     }

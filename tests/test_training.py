@@ -409,3 +409,142 @@ class TestClashLoss:
 
         g = jax.grad(f)(pred)
         assert np.all(np.isfinite(np.asarray(g)))
+
+class TestBondLoss:
+    """Peptide-bond hinge penalty (framework addition; the reference's loss
+    has no junction-geometry term — bond violations are only measured, via
+    the AF2 `between_residue_bond_loss` port in evaluation/violations.py)."""
+
+    IDEAL_C_N = 1.329
+
+    def _ideal_chain_inputs(self, n, t, break_junction=None):
+        """GT frames: identity rotations, translations chosen so every
+        C(i)-N(i+1) distance is exactly the ideal 1.329 A under
+        compute_backbone's idealized local geometry. Returns
+        (gt_atom37, make_inputs(pred_atom37) -> (model_out, batch, cfg))."""
+        import dataclasses
+
+        from se3_diffusion_tpu.proteins import backbone
+
+        origin = Rigid(
+            quat=jnp.array([[[1.0, 0.0, 0.0, 0.0]]]),
+            trans=jnp.zeros((1, 1, 3)),
+        )
+        atoms0, _, _ = backbone.compute_backbone(
+            origin, jnp.zeros((1, 1, 2))
+        )
+        n_local = atoms0[0, 0, 0]
+        c_local = atoms0[0, 0, 2]
+        delta = c_local - n_local + jnp.array([self.IDEAL_C_N, 0.0, 0.0])
+        steps = jnp.tile(delta[None], (n, 1)).at[0].set(jnp.zeros(3))
+        if break_junction is not None:
+            # Tear junction j apart in the ground truth itself.
+            steps = steps.at[break_junction + 1].add(jnp.array([5.0, 0.0, 0.0]))
+        trans = jnp.cumsum(steps, axis=0)[None]
+        quats = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0])[None, None], (1, n, 1))
+        rigids_0 = jnp.concatenate([quats, trans], axis=-1)
+        gt_atom37, _, _ = backbone.compute_backbone(
+            Rigid.from_tensor_7(rigids_0), jnp.zeros((1, n, 2))
+        )
+
+        def make_inputs(pred_atom37):
+            model_out = {
+                "rot_score": jnp.zeros((1, n, 3)),
+                "trans_score": jnp.zeros((1, n, 3)),
+                "rigids": rigids_0,
+                "atom37": pred_atom37,
+            }
+            batch = {
+                "rigids_0": rigids_0,
+                "rot_score": jnp.zeros((1, n, 3)),
+                "trans_score": jnp.zeros((1, n, 3)),
+                "rot_score_scaling": jnp.ones((1,)),
+                "trans_score_scaling": jnp.ones((1,)),
+                "res_mask": jnp.ones((1, n)),
+                "fixed_mask": jnp.zeros((1, n)),
+                "torsion_angles_sin_cos": jnp.zeros((1, n, 7, 2)),
+                "t": jnp.full((1,), t),
+            }
+            cfg = dataclasses.replace(
+                SMALL_CFG.experiment, bond_loss_weight=1.0
+            )
+            return model_out, batch, cfg
+
+        return gt_atom37, make_inputs
+
+    def test_gt_junctions_are_ideal(self):
+        """The fixture itself: every GT C(i)-N(i+1) distance is 1.329 A."""
+        gt, _ = self._ideal_chain_inputs(6, t=0.1)
+        d = np.linalg.norm(
+            np.asarray(gt[0, :-1, 2]) - np.asarray(gt[0, 1:, 0]), axis=-1
+        )
+        np.testing.assert_allclose(d, self.IDEAL_C_N, atol=1e-5)
+
+    def test_exact_reconstruction_has_zero_bond_loss(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt, make_inputs = self._ideal_chain_inputs(6, t=0.1)
+        model_out, batch, cfg = make_inputs(gt)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["bond_loss"]) == 0.0
+
+    def test_stretched_junction_is_penalized(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt, make_inputs = self._ideal_chain_inputs(6, t=0.1)
+        pred = gt.at[0, 3:].add(jnp.array([1.0, 0.0, 0.0]))  # stretch 2->3
+        model_out, batch, cfg = make_inputs(pred)
+        loss_on, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["bond_loss"]) > 0.0
+        # Expected value: one junction stretched to 2.329 A, hinge^2 over
+        # the 5 junctions -> (1.0 - tol)^2 / 5.
+        expected = (1.0 - cfg.bond_loss_tolerance) ** 2 / 5.0
+        np.testing.assert_allclose(
+            float(aux["bond_loss"]), expected, rtol=1e-4
+        )
+
+    def test_gt_broken_junction_is_excluded(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        # Junction 2 torn apart in the GT itself (chain break): predicting
+        # the GT exactly must not be penalized.
+        gt, make_inputs = self._ideal_chain_inputs(6, t=0.1, break_junction=2)
+        model_out, batch, cfg = make_inputs(gt)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["bond_loss"]) == 0.0
+
+    def test_t_gate_and_default_off(self):
+        import dataclasses
+
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt, make_inputs = self._ideal_chain_inputs(6, t=0.9)
+        pred = gt.at[0, 3:].add(jnp.array([1.0, 0.0, 0.0]))
+        model_out, batch, cfg = make_inputs(pred)
+        _, aux = framediff_loss(model_out, batch, cfg)
+        assert float(aux["bond_loss"]) == 0.0  # gated at high t
+
+        gt, make_inputs = self._ideal_chain_inputs(6, t=0.1)
+        model_out, batch, cfg = make_inputs(pred)
+        cfg_off = dataclasses.replace(cfg, bond_loss_weight=0.0)
+        loss_on, aux_on = framediff_loss(model_out, batch, cfg)
+        loss_off, aux_off = framediff_loss(model_out, batch, cfg_off)
+        assert float(aux_off["bond_loss"]) == 0.0
+        assert float(loss_on) > float(loss_off)
+
+    def test_bond_gradients_finite(self):
+        from se3_diffusion_tpu.training.losses import framediff_loss
+
+        gt, make_inputs = self._ideal_chain_inputs(6, t=0.1)
+        # Degenerate prediction: all atoms coincident — safe_norm must keep
+        # gradients finite at d=0.
+        pred = jnp.zeros_like(gt)
+        model_out, batch, cfg = make_inputs(pred)
+
+        def f(atoms):
+            mo = dict(model_out)
+            mo["atom37"] = atoms
+            return framediff_loss(mo, batch, cfg)[0]
+
+        g = jax.grad(f)(pred)
+        assert np.all(np.isfinite(np.asarray(g)))
