@@ -66,33 +66,43 @@ def main():
     p.add_argument("--label_a", default="A")
     p.add_argument("--b", required=True)
     p.add_argument("--label_b", default="B")
+    p.add_argument("--c", default=None,
+                   help="optional third sweep (progression table)")
+    p.add_argument("--label_c", default="C")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
+    runs = [(args.label_a, args.a), (args.label_b, args.b)]
+    if args.c:
+        runs.append((args.label_c, args.c))
     out = {}
-    for label, path in ((args.label_a, args.a), (args.label_b, args.b)):
+    for label, path in runs:
         df, summary = load_sweep(path)
         out[label] = sweep_report(df, summary)
 
     # Markdown table: per-length CA clashes + validity side by side.
-    a, b = out[args.label_a], out[args.label_b]
+    labels = [label for label, _ in runs]
     lengths = sorted(
-        set(a["by_length"]) & set(b["by_length"]), key=int
+        set.intersection(*(set(out[l]["by_length"]) for l in labels)), key=int
     )
-    print(f"| length | validity {args.label_a} | validity {args.label_b} "
-          f"| CA clashes {args.label_a} | CA clashes {args.label_b} "
-          f"| res-clash viol {args.label_a} | res-clash viol {args.label_b} |")
-    print("|---|---|---|---|---|---|---|")
+    cols = [
+        ("validity", "ca_ca_valid_percent", ".3f"),
+        ("CA clashes", "num_ca_clashes", ".1f"),
+        ("res-clash viol", "violations_between_residue_clash", ".3f"),
+    ]
+    header = " | ".join(
+        f"{name} {l}" for name, _, _ in cols for l in labels
+    )
+    print(f"| length | {header} |")
+    print("|---" * (1 + len(cols) * len(labels)) + "|")
     for L in lengths:
-        ra, rb = a["by_length"][L], b["by_length"][L]
-        print(
-            f"| {L} | {ra['ca_ca_valid_percent']:.3f} | "
-            f"{rb['ca_ca_valid_percent']:.3f} | "
-            f"{ra['num_ca_clashes']:.1f} | {rb['num_ca_clashes']:.1f} | "
-            f"{ra['violations_between_residue_clash']:.3f} | "
-            f"{rb['violations_between_residue_clash']:.3f} |"
-        )
-    for label in (args.label_a, args.label_b):
+        cells = [
+            format(out[l]["by_length"][L][key], fmt)
+            for _, key, fmt in cols
+            for l in labels
+        ]
+        print(f"| {L} | " + " | ".join(cells) + " |")
+    for label in labels:
         o = out[label]["overall"]
         print(
             f"{label}: n={out[label]['n_samples']} "

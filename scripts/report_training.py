@@ -74,7 +74,7 @@ def main(argv=None):
     loss_keys = [
         k
         for k in ("loss", "rot_loss", "trans_loss", "bb_atom_loss",
-                  "dist_mat_loss", "grad_norm")
+                  "dist_mat_loss", "clash_loss", "bond_loss", "grad_norm")
         if k in last
     ]
     lines.append("## Loss trajectory\n")
