@@ -239,9 +239,18 @@ class PdbDataset:
         self,
         example_indices: Sequence[int],
         max_squared_res: int,
-        buckets: Sequence[int] = (64, 128, 192, 256, 320, 384, 448, 512),
+        buckets: Sequence[int] | None = None,
     ) -> Dict[str, np.ndarray]:
-        """Loads, trims to the memory budget, pads to a bucket, stacks."""
+        """Loads, trims to the memory budget, pads to a bucket, stacks.
+
+        Buckets default to multiples of 64 up to ``cfg.max_len`` rounded
+        up, so raising ``data.max_len`` past the reference's 512 wall
+        (`/root/reference/config/base.yaml:11`) extends the training
+        range without touching this call chain.
+        """
+        if buckets is None:
+            top = max(64, -(-self.cfg.max_len // 64) * 64)
+            buckets = tuple(range(64, top + 1, 64))
         examples = [self.load_example(i) for i in example_indices]
         examples.sort(key=lambda e: -len(e["res_mask"]))
         max_len = len(examples[0]["res_mask"])

@@ -189,6 +189,28 @@ class TestDataset:
             np.linalg.norm(batch["rigids_0"][..., :4], axis=-1), 1.0, atol=1e-5
         )
 
+    def test_buckets_follow_max_len(self, processed_dir):
+        """Raising data.max_len extends the default bucket ladder past the
+        reference's 512 wall (64-multiples up to max_len rounded up)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(self._cfg(processed_dir), max_len=640)
+        ds = PdbDataset(cfg, is_training=True)
+        batch = ds.make_batch([0, 1], max_squared_res=500_000)
+        assert batch["res_mask"].shape[1] % 64 == 0
+        # The derived ladder itself: top bucket tracks max_len, and a
+        # non-multiple max_len rounds up rather than erroring.
+        from se3_diffusion_tpu.data import utils as du
+
+        for max_len, top in ((512, 512), (640, 640), (600, 640)):
+            cfg2 = dataclasses.replace(cfg, max_len=max_len)
+            ds2 = PdbDataset(cfg2, is_training=True)
+            b = ds2.make_batch([0], max_squared_res=500_000)
+            assert b["res_mask"].shape[1] <= top
+            assert du.round_up_to_bucket(
+                top, tuple(range(64, top + 1, 64))
+            ) == top
+
 
 class TestEndToEndSmoke:
     def test_train_two_steps_then_sample(self, processed_dir):
