@@ -323,24 +323,40 @@ class Experiment:
         means = {f"eval_{k}": float(v) for k, v in df.mean(numeric_only=True).items()}
         self._log({"step": step, **means})
         if self._wandb is not None:
-            # Eval sample table with 3D structure viewers (the reference's
-            # wandb.Molecule table, `train_se3_diffusion.py:438-444`).
             try:
-                cols = ["length", "sample", "structure"] + [
-                    c for c in df.columns if c not in ("length", "sample")
-                ]
-                table = self._wandb.Table(columns=cols)
-                for r in rows:
-                    pdb_path = os.path.join(
-                        eval_dir, f"len_{r['length']}_sample_{r['sample']}.pdb"
-                    )
-                    table.add_data(
-                        r["length"],
-                        r["sample"],
-                        self._wandb.Molecule(pdb_path),
-                        *[r[c] for c in df.columns if c not in ("length", "sample")],
-                    )
-                self._wandb.log({"eval/samples": table}, step=step)
+                log_wandb_eval_table(
+                    self._wandb, rows, list(df.columns), eval_dir, step
+                )
             except Exception:  # viewer upload must never fail an eval
                 logger.warning("wandb eval table upload failed", exc_info=True)
         return means
+
+
+def log_wandb_eval_table(wandb_mod, rows, columns, eval_dir: str, step: int):
+    """Eval sample table with 3D structure viewers (the reference's
+    wandb.Molecule table, `train_se3_diffusion.py:438-444`).
+
+    Standalone so the table contract is testable with a stub wandb module
+    (the real package is optional and absent in CI).
+
+    Args:
+        wandb_mod: the imported wandb module (or a stub with
+            Table/Molecule/log).
+        rows: per-sample metric dicts, each with at least length+sample keys.
+        columns: metric column order (must contain "length" and "sample").
+        eval_dir: directory holding `len_{L}_sample_{i}.pdb` files.
+    """
+    metric_cols = [c for c in columns if c not in ("length", "sample")]
+    table = wandb_mod.Table(columns=["length", "sample", "structure"] + metric_cols)
+    for r in rows:
+        pdb_path = os.path.join(
+            eval_dir, f"len_{r['length']}_sample_{r['sample']}.pdb"
+        )
+        table.add_data(
+            r["length"],
+            r["sample"],
+            wandb_mod.Molecule(pdb_path),
+            *[r[c] for c in metric_cols],
+        )
+    wandb_mod.log({"eval/samples": table}, step=step)
+    return table

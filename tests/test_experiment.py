@@ -311,3 +311,54 @@ class TestDiversity:
 
     def test_empty(self):
         assert metrics_lib.diversity([])["num_samples"] == 0
+
+
+class TestWandbEvalTable:
+    """The eval-sample viewer table (reference train_se3_diffusion.py:438-444)
+    exercised with a stub wandb module — the real package is optional."""
+
+    class _StubTable:
+        def __init__(self, columns):
+            self.columns = columns
+            self.rows = []
+
+        def add_data(self, *vals):
+            self.rows.append(vals)
+
+    class _StubMolecule:
+        def __init__(self, path):
+            self.path = path
+
+    def test_table_contract(self, tmp_path):
+        from se3_diffusion_tpu.training.experiment import log_wandb_eval_table
+
+        logged = {}
+
+        class Stub:
+            Table = self._StubTable
+            Molecule = self._StubMolecule
+
+            @staticmethod
+            def log(payload, step=None):
+                logged.update(payload)
+                logged["_step"] = step
+
+        rows = []
+        for length in (16, 24):
+            for i in range(2):
+                (tmp_path / f"len_{length}_sample_{i}.pdb").write_text("END\n")
+                rows.append(
+                    {"length": length, "sample": i, "ca_ca_validity": 0.5 + i}
+                )
+        table = log_wandb_eval_table(
+            Stub, rows, ["length", "sample", "ca_ca_validity"], str(tmp_path), 7
+        )
+        assert logged["_step"] == 7
+        assert logged["eval/samples"] is table
+        assert table.columns == ["length", "sample", "structure", "ca_ca_validity"]
+        assert len(table.rows) == 4
+        first = table.rows[0]
+        assert first[0] == 16 and first[1] == 0
+        assert isinstance(first[2], self._StubMolecule)
+        assert first[2].path.endswith("len_16_sample_0.pdb")
+        assert first[3] == 0.5
