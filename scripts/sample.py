@@ -77,6 +77,10 @@ def main():
         output_dir=args.output_dir or cfg.inference.output_dir,
     )
     cfg = dataclasses.replace(cfg, inference=inference)
+    # Apply the reference's YAML interpolations (ipa.c_s tracks
+    # node_embed_size etc.) before the model is built — without this a
+    # config that overrides embedding sizes builds a mismatched trunk.
+    cfg = config_lib.resolve(cfg)
 
     diffuser = SE3Diffuser.create(cfg.diffuser)
     model = ScoreNetwork(cfg.model)

@@ -234,3 +234,63 @@ class TestMultihost:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestScaffoldCLI:
+    def test_cli_end_to_end(self, tmp_path):
+        """scripts/scaffold.py: contig + motif PDB -> design PDBs with the
+        fixed mask in b-factors, metrics.csv, summary.json, motif held."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        atom37, mask37 = build_backbone(12)
+        motif_pdb = tmp_path / "motif.pdb"
+        motif_pdb.write_text(protein_lib.to_pdb(protein_lib.create_protein(atom37, mask37)))
+        cfg_yaml = tmp_path / "tiny.yaml"
+        cfg_yaml.write_text(
+            "model:\n"
+            "  node_embed_size: 32\n"
+            "  edge_embed_size: 16\n"
+            "  ipa:\n"
+            "    c_hidden: 16\n"
+            "    c_skip: 8\n"
+            "    no_heads: 2\n"
+            "    no_qk_points: 4\n"
+            "    no_v_points: 6\n"
+            "    seq_tfmr_num_heads: 2\n"
+            "    seq_tfmr_num_layers: 1\n"
+            "    num_blocks: 2\n"
+            "diffuser:\n"
+            "  so3:\n"
+            "    num_omega: 100\n"
+            "    num_sigma: 50\n"
+            "    series_l: 200\n"
+            "    cache_dir: ''\n"
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        out_dir = tmp_path / "designs"
+        res = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "scripts", "scaffold.py"),
+                "--contig", "3-5,A3-8,3-5", "--motif_pdb", str(motif_pdb),
+                "--config", str(cfg_yaml), "--num_designs", "2",
+                "--num_t", "3", "--output_dir", str(out_dir),
+            ],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        summary = json.loads((out_dir / "summary.json").read_text())
+        assert summary["num_designs"] == 2
+        assert summary["mean_num_motif_res"] == 6.0
+        assert summary["mean_motif_rmsd"] < 0.1
+        import pandas as pd
+
+        df = pd.read_csv(out_dir / "metrics.csv")
+        assert len(df) == 2 and "motif_rmsd" in df.columns
+        pdb_text = (out_dir / "design_0.pdb").read_text()
+        prot = protein_lib.from_pdb_string(pdb_text)
+        # Fixed mask rides the b-factor column: exactly 6 motif residues.
+        assert int((prot.b_factors[:, 1] > 0.5).sum()) == 6
