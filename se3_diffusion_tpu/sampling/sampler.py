@@ -94,6 +94,7 @@ def sample_fn(
     clash_guidance_weight: float = 0.0,
     clash_guidance_margin: float = 3.8,
     clash_guidance_t_max: float = 0.25,
+    t_start: float = 1.0,
 ) -> SampleOutput:
     """Runs the full reverse diffusion for a batch of proteins.
 
@@ -132,8 +133,13 @@ def sample_fn(
         t > min_t, and the model's x0 prediction taken directly at the
         final step.
     """
-    reverse_steps = jnp.linspace(min_t, 1.0, num_t)[::-1]
-    dt = 1.0 / num_t
+    # t_start < 1 runs a PARTIAL reverse process (framework addition for
+    # structure diversification, RFdiffusion-style "partial diffusion"):
+    # init_rigids must then come from `forward_marginal` of a clean
+    # structure at t_start, not `sample_ref`. dt = t_start/num_t keeps the
+    # reference's dt = 1/num_t semantics exactly when t_start == 1.
+    reverse_steps = jnp.linspace(min_t, t_start, num_t)[::-1]
+    dt = t_start / num_t
     batch = init_rigids.shape[0]
     num_res = res_mask.shape[-1]
     diffuse_mask = (1.0 - fixed_mask) * res_mask
@@ -286,4 +292,82 @@ def sample_backbones(
         clash_guidance_weight=clash_guidance_weight,
         clash_guidance_margin=clash_guidance_margin,
         clash_guidance_t_max=clash_guidance_t_max,
+    )
+
+
+def diversify_backbones(
+    key: jax.Array,
+    model: ScoreNetwork,
+    params,
+    diffuser: SE3Diffuser,
+    atom37: Array,
+    atom37_mask: Optional[Array] = None,
+    t_start: float = 0.5,
+    num_samples: int = 1,
+    num_t: int = 500,
+    min_t: float = 0.01,
+    noise_scale: float = 0.1,
+    self_condition: bool = True,
+    aux_traj: bool = False,
+    probability_flow: bool = False,
+) -> SampleOutput:
+    """Structure diversification by partial diffusion (framework addition;
+    the capability RFdiffusion ships as `partial_T` — the reference
+    FrameDiff has no counterpart). Noises an existing backbone forward to
+    `t_start` with the exact training-time marginal, then runs the reverse
+    process from there: small `t_start` resamples local detail around the
+    input fold, large `t_start` explores further; `t_start=1` recovers
+    unconditional sampling from scratch.
+
+    Args:
+        atom37: [N, 37, 3] clean input backbone (one structure; it is
+            tiled to `num_samples` independent diversifications).
+        t_start: forward-noising time in (min_t, 1].
+        num_t: step count of the FULL 1->min_t protocol; the partial leg
+            runs round(num_t * t_start) steps so the effective dt matches
+            the unconditional protocol's 1/num_t.
+    """
+    from se3_diffusion_tpu.proteins import transforms
+
+    atom37 = jnp.asarray(atom37)
+    if atom37_mask is None:
+        atom37_mask = jnp.any(atom37 != 0.0, axis=-1).astype(jnp.float32)
+    frames, frame_mask = transforms.backbone_frames_from_atom37(
+        atom37, atom37_mask
+    )
+    res_mask = frame_mask.astype(jnp.float32)
+    # Center on the masked CA centroid, as training data is centered
+    # (reference `pdb_data_loader.py` CoM removal).
+    com = (frames.trans * res_mask[:, None]).sum(0) / jnp.maximum(
+        res_mask.sum(), 1.0
+    )
+    frames = Rigid(quat=frames.quat, trans=frames.trans - com[None])
+    tile = lambda x: jnp.tile(x[None], (num_samples,) + (1,) * x.ndim)
+    frames_b = Rigid(quat=tile(frames.quat), trans=tile(frames.trans))
+    res_mask_b = tile(res_mask)
+
+    key_noise, key_scan = jax.random.split(key)
+    noised = diffuser.forward_marginal(
+        key_noise,
+        frames_b,
+        jnp.full((num_samples,), t_start, jnp.float32),
+        diffuse_mask=res_mask_b,
+    )
+    init_rigids = noised["rigids_t"].to_tensor_7()
+    num_t_eff = max(int(round(num_t * t_start)), 2)
+    return sample_fn(
+        params,
+        diffuser,
+        key_scan,
+        init_rigids,
+        res_mask_b,
+        jnp.zeros_like(res_mask_b),
+        model=model,
+        num_t=num_t_eff,
+        min_t=min_t,
+        noise_scale=noise_scale,
+        self_condition=self_condition,
+        aux_traj=aux_traj,
+        probability_flow=probability_flow,
+        t_start=t_start,
     )

@@ -225,3 +225,38 @@ def test_combine_datasets_clash_filter(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert len(pd.read_csv(out2 / "metadata.csv")) == 2
+
+
+def test_diversify_cli(tiny_cfg):
+    """scripts/diversify.py: partial diffusion around an input PDB emits
+    per-sample TM/RMSD-to-input plus geometry metrics."""
+    import json
+
+    import numpy as np
+
+    cfg_path, run_dir, _ = tiny_cfg
+    root = cfg_path.parent
+    sys.path.insert(0, REPO)
+    from se3_diffusion_tpu.proteins import protein as protein_lib
+    from tests.helpers import build_backbone
+
+    atom37, mask37 = build_backbone(14)
+    in_pdb = root / "input.pdb"
+    in_pdb.write_text(
+        protein_lib.to_pdb(protein_lib.create_protein(atom37, mask37))
+    )
+    out_dir = root / "diversified"
+    r = run_script(
+        ["scripts/diversify.py", "--pdb", str(in_pdb),
+         "--config", str(cfg_path), "--t_start", "0.4",
+         "--num_samples", "2", "--num_t", "10",
+         "--output_dir", str(out_dir)]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert summary["num_samples"] == 2
+    assert 0.0 <= summary["mean_tm_to_input"] <= 1.0
+    assert np.isfinite(summary["mean_rmsd_to_input"])
+    df = pd.read_csv(out_dir / "metrics.csv")
+    assert len(df) == 2 and "tm_to_input" in df.columns
+    assert (out_dir / "diversified_0.pdb").exists()

@@ -287,3 +287,88 @@ class TestClashGuidance:
             return np.linalg.norm(tr[0] - tr[6])
 
         assert d06(guided.rigid_traj) > d06(base.rigid_traj)
+
+
+class TestPartialDiffusion:
+    """diversify_backbones: partial reverse from a forward-noised input
+    (framework addition — RFdiffusion-style partial_T; no reference
+    counterpart in FrameDiff)."""
+
+    def _input(self, n=14):
+        from tests.helpers import build_backbone
+
+        atom37, mask37 = build_backbone(n)
+        return np.asarray(atom37), np.asarray(mask37)
+
+    def test_shapes_determinism_and_finiteness(self, setup):
+        from se3_diffusion_tpu.sampling import diversify_backbones
+
+        diffuser, model, params = setup
+        atom37, mask37 = self._input()
+        out1 = diversify_backbones(
+            jax.random.PRNGKey(3), model, params, diffuser, atom37, mask37,
+            t_start=0.5, num_samples=2, num_t=8,
+        )
+        out2 = diversify_backbones(
+            jax.random.PRNGKey(3), model, params, diffuser, atom37, mask37,
+            t_start=0.5, num_samples=2, num_t=8,
+        )
+        assert out1.atom37.shape == (2, 14, 37, 3)
+        assert np.all(np.isfinite(np.asarray(out1.atom37)))
+        np.testing.assert_allclose(
+            np.asarray(out1.rigids), np.asarray(out2.rigids), atol=0
+        )
+        # num_t * t_start reverse steps: 8 * 0.5 = 4, +init/final in traj.
+        traj = diversify_backbones(
+            jax.random.PRNGKey(4), model, params, diffuser, atom37, mask37,
+            t_start=0.5, num_samples=1, num_t=8, aux_traj=True,
+        )
+        assert traj.rigid_traj.shape[0] == 5
+
+    def test_small_t_start_stays_near_input(self, setup):
+        """Freshly-initialized score/update heads are zero-init (reference
+        ipa_pytorch 'final' init), so the reverse process is near-identity:
+        the diversified structure's distance to the input must grow with
+        t_start (small t_start = local resampling, 1.0 = from scratch)."""
+        from se3_diffusion_tpu.evaluation import metrics as metrics_lib
+        from se3_diffusion_tpu.sampling import diversify_backbones
+
+        diffuser, model, params = setup
+        atom37, mask37 = self._input(16)
+        ca_in = atom37[:, 1] - atom37[:, 1].mean(0)
+        rmsds = {}
+        for t_start in (0.05, 1.0):
+            out = diversify_backbones(
+                jax.random.PRNGKey(7), model, params, diffuser, atom37,
+                mask37, t_start=t_start, num_samples=1, num_t=20,
+            )
+            ca_out = np.asarray(out.atom37[0, :, 1], np.float64)
+            rmsds[t_start] = metrics_lib.calc_aligned_rmsd(ca_out, ca_in)
+        # Measured on this fixed seed: ~3.0 A at t_start=0.05 vs ~6.8 A
+        # from scratch. (No monotone claim at intermediate t_start: with
+        # untrained weights the reverse drift's contraction strength also
+        # varies with leg length.)
+        assert rmsds[0.05] < 0.8 * rmsds[1.0]
+        assert rmsds[0.05] < 4.5  # local perturbation, not a new fold
+
+    def test_t_start_one_matches_unconditional_grid(self, setup):
+        """sample_fn with t_start=1.0 must be bit-identical to the default
+        (the partial-diffusion generalization cannot perturb the
+        reference-parity unconditional path)."""
+        from se3_diffusion_tpu.sampling import sample_fn
+
+        diffuser, model, params = setup
+        key = jax.random.PRNGKey(11)
+        ref = diffuser.sample_ref(jax.random.PRNGKey(12), 2 * 12)["rigids_t"]
+        init = ref.to_tensor_7().reshape(2, 12, 7)
+        res_mask = jnp.ones((2, 12), jnp.float32)
+        fixed = jnp.zeros_like(res_mask)
+        a = sample_fn(
+            params, diffuser, key, init, res_mask, fixed, model=model,
+            num_t=4,
+        )
+        b = sample_fn(
+            params, diffuser, key, init, res_mask, fixed, model=model,
+            num_t=4, t_start=1.0,
+        )
+        np.testing.assert_array_equal(np.asarray(a.rigids), np.asarray(b.rigids))
